@@ -1,0 +1,126 @@
+"""Typed configuration tree for the whole engine.
+
+The reference scatters its tuning surface across module-level constants
+(reference centroidal_mpc.py:12-38, test_MPC.py:19-78, gait.py:8-9,
+leg_controller.py:10-11). Here the entire surface is one frozen dataclass
+tree; static fields (horizon N, rates, iteration counts) become Python ints
+baked into the jit trace, while per-scenario numeric fields (commands, mu,
+gait frequency/duty) can instead be batched at runtime via ``ScenarioBatch``
+in ``convex_mpc_tpu.types``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class GaitConfig:
+    """Trot gait schedule (reference gait.py:8-19, test_MPC.py:50-52)."""
+
+    frequency_hz: float = 3.0
+    duty: float = 0.6
+    # per-leg phase offsets, order [FL, FR, RL, RR] (reference gait.py:8)
+    phase_offset: Tuple[float, float, float, float] = (0.5, 0.0, 0.0, 0.5)
+    swing_height: float = 0.1  # swing apex height, m (reference gait.py:9)
+    touchdown_z: float = 0.02  # nominal touchdown height, m (reference gait.py:57)
+
+    @property
+    def period(self) -> float:
+        return 1.0 / self.frequency_hz
+
+    @property
+    def stance_time(self) -> float:
+        return self.duty * self.period
+
+    @property
+    def swing_time(self) -> float:
+        return (1.0 - self.duty) * self.period
+
+
+@dataclasses.dataclass(frozen=True)
+class MpcConfig:
+    """Centroidal MPC weights/limits (reference centroidal_mpc.py:12-38,122-176)."""
+
+    horizon: int = 16  # steps; one full gait cycle (reference com_trajectory.py:66)
+    # state cost diag [p(3), rpy(3), v(3), omega(3)] (reference centroidal_mpc.py:12)
+    q_diag: Tuple[float, ...] = (1, 1, 50, 10, 20, 1, 2, 2, 1, 1, 1, 1)
+    r_diag_value: float = 1e-5  # input cost (reference centroidal_mpc.py:13)
+    mu: float = 0.8  # friction coefficient (reference centroidal_mpc.py:15)
+    fz_min: float = 10.0  # stance min normal force, N (reference centroidal_mpc.py:127)
+    fz_max: float = float("inf")
+    max_pos_error: float = 0.1  # COM target clamp, m (reference com_trajectory.py:47)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Batched ADMM (OSQP-style) solver settings.
+
+    Mirrors the semantics of the reference's OSQP options
+    (centroidal_mpc.py:20-38) in a fixed-shape, jit-compatible form:
+    termination is by residual threshold checked every ``check_every``
+    iterations inside a ``lax.while_loop`` (single scenario) or by running
+    ``max_iter`` fixed iterations with masked early-exit semantics (batched).
+    """
+
+    rho: float = 0.1  # base ADMM penalty
+    rho_eq_scale: float = 1e3  # equality rows get rho * this (OSQP convention)
+    sigma: float = 1e-6
+    alpha: float = 1.6  # over-relaxation
+    eps_abs: float = 1e-4
+    eps_rel: float = 1e-4
+    max_iter: int = 250
+    check_every: int = 25
+    adaptive_rho: bool = True
+    adaptive_rho_interval: int = 25
+    warm_start: bool = True
+    scaling_iters: int = 10  # Ruiz equilibration sweeps (reference scaling=5... eh: 10)
+
+
+@dataclasses.dataclass(frozen=True)
+class LegControlConfig:
+    """Swing/stance leg controller gains (reference leg_controller.py:10-11)."""
+
+    kp_swing: float = 500.0
+    kd_swing: float = 200.0
+    tau_max: float = 45.0  # joint torque saturation, Nm (reference test_MPC.py:71)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Closed-loop timing + plant settings (reference test_MPC.py:60-69)."""
+
+    leg_ctrl_hz: int = 1000
+    steps_per_mpc: int = 20  # 1000 // 48 (reference test_MPC.py:69)
+    # Soft-contact plant parameters (TPU-native plant; capability of MuJoCo)
+    contact_stiffness: float = 12000.0  # N/m
+    contact_damping: float = 250.0  # N/(m/s)
+    friction_mu: float = 0.8  # ground Coulomb friction (reference README.md:116)
+    friction_vel_tol: float = 0.05  # m/s tangential regularization velocity
+    ground_height: float = 0.0
+
+    @property
+    def dt(self) -> float:
+        return 1.0 / self.leg_ctrl_hz
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Top-level config tree."""
+
+    gait: GaitConfig = GaitConfig()
+    mpc: MpcConfig = MpcConfig()
+    solver: SolverConfig = SolverConfig()
+    leg: LegControlConfig = LegControlConfig()
+    sim: SimConfig = SimConfig()
+    # desired standing height, m (reference test_MPC.py:57)
+    z_des: float = 0.27
+
+    @property
+    def mpc_dt(self) -> float:
+        """MPC step = gait period / horizon (reference test_MPC.py:67)."""
+        return self.gait.period / self.mpc.horizon
+
+
+DEFAULT_CONFIG = EngineConfig()
