@@ -1,0 +1,280 @@
+"""Batched OSQP-style ADMM QP solver in pure JAX.
+
+Solves  min 1/2 z'Pz + q'z  s.t.  l <= Az <= u  (P diagonal positive) — the
+capability the reference delegates to the native OSQP C solver via CasADi
+(reference centroidal_mpc.py:20-38,98,213). TPU-first design decisions:
+
+- **Ruiz equilibration + cost normalization** (OSQP `scaling`, reference opts
+  set scaling=5): the raw MPC QP mixes R = 1e-5 force costs with Q up to 50
+  state costs and ~100 N forces with ~0.3 m states; unscaled f32 ADMM stalls
+  near 10% force error. A few Ruiz sweeps restore fast convergence at f32.
+- **Segment-wise adaptive rho** (OSQP `adaptive_rho`): the solve runs a small
+  static number of segments; between segments the scalar rho is re-tuned from
+  the primal/dual residual ratio and the linear system is re-factorized —
+  matching OSQP's refactor-on-rho-update behavior with static shapes.
+- **One factorization per segment, matmul-only iterations.** M = P + sigma*I
+  + A' R A is Cholesky-inverted once per segment; each iteration is then two
+  dense matvecs plus elementwise projections. Under ``vmap`` these become
+  (B, m, n) @ (B, n) batched matmuls that map straight onto the MXU; no
+  triangular solves or data-dependent shapes in the loop.
+- **Per-row rho** with equality rows boosted 1e3x (OSQP `rho_eq` convention).
+- **Warm starting** of (x, y, rho) carried across MPC control steps exactly
+  like the reference (centroidal_mpc.py:92-95,108-110).
+- **Fixed iteration count + masked convergence**: termination inside jit is
+  shape-static; the solver reports unscaled residuals and the iteration at
+  which the OSQP criterion was first met.
+
+Precision: all contractions pin f32 (HIGHEST) — TPU default matmul precision
+is bf16, which wrecks dual-residual convergence.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from convex_mpc_tpu.mpc.qp import QpData
+
+_PRECISION = lax.Precision.HIGHEST
+
+
+def _mv(A, x):
+    return jnp.matmul(A, x, precision=_PRECISION)
+
+
+class AdmmState(NamedTuple):
+    """Carried solver state (warm start between MPC steps). Unscaled."""
+
+    x: jnp.ndarray  # (nz,) primal
+    z: jnp.ndarray  # (m,) split variable (constraint space)
+    y: jnp.ndarray  # (m,) dual
+    rho: jnp.ndarray  # () adapted scalar penalty, carried across solves
+
+
+class AdmmSolution(NamedTuple):
+    x: jnp.ndarray  # (nz,) primal solution
+    y: jnp.ndarray  # (m,) duals for constraint rows
+    prim_res: jnp.ndarray  # () final max|Ax - z| (unscaled)
+    dual_res: jnp.ndarray  # () final max|Px + q + A'y| (unscaled)
+    iters: jnp.ndarray  # () iteration at which termination criterion held (or total)
+    state: AdmmState  # carry for warm start
+
+
+class ScaledQp(NamedTuple):
+    p_diag: jnp.ndarray
+    q: jnp.ndarray
+    A: jnp.ndarray
+    l: jnp.ndarray
+    u: jnp.ndarray
+    d: jnp.ndarray  # (nz,) variable scaling:   x = d * x_hat
+    e: jnp.ndarray  # (m,) constraint scaling:  z = z_hat / e,  y = e * y_hat / c
+    c: jnp.ndarray  # () cost scaling
+
+
+def init_state(qp: QpData, rho: float = 0.1) -> AdmmState:
+    nz = qp.q.shape[-1]
+    m = qp.l.shape[-1]
+    dtype = qp.q.dtype
+    return AdmmState(
+        x=jnp.zeros((nz,), dtype),
+        z=jnp.zeros((m,), dtype),
+        y=jnp.zeros((m,), dtype),
+        rho=jnp.asarray(rho, dtype),
+    )
+
+
+def ruiz_equilibrate(qp: QpData, iters: int = 10) -> ScaledQp:
+    """Modified Ruiz equilibration of [P A'; A 0] + OSQP cost normalization.
+
+    Returns the scaled problem and the diagonal scalings (d, e, c) with
+    P_s = c D P D, q_s = c D q, A_s = E A D, l_s = E l, u_s = E u.
+    """
+    p = qp.p_diag
+    A = qp.A
+    q = qp.q
+    nz = q.shape[-1]
+    m = qp.l.shape[-1]
+    dtype = q.dtype
+    d = jnp.ones((nz,), dtype)
+    e = jnp.ones((m,), dtype)
+    c = jnp.asarray(1.0, dtype)
+
+    def sweep(carry, _):
+        p, A, q, d, e, c = carry
+        col_norm = jnp.maximum(jnp.max(jnp.abs(A), axis=0), jnp.abs(p))
+        dd = 1.0 / jnp.sqrt(jnp.maximum(col_norm, 1e-12))
+        dd = jnp.clip(dd, 1e-6, 1e6)
+        row_norm = jnp.max(jnp.abs(A * dd[None, :]), axis=1)
+        ee = 1.0 / jnp.sqrt(jnp.maximum(row_norm, 1e-12))
+        ee = jnp.clip(ee, 1e-6, 1e6)
+        A = ee[:, None] * (A * dd[None, :])
+        p = dd * dd * p
+        q = dd * q
+        # cost normalization (OSQP): gamma = 1/max(mean(|P| col norms), |q|_inf)
+        gamma = 1.0 / jnp.maximum(jnp.maximum(jnp.mean(jnp.abs(p)), jnp.max(jnp.abs(q))), 1e-12)
+        gamma = jnp.clip(gamma, 1e-6, 1e6)
+        p = gamma * p
+        q = gamma * q
+        return (p, A, q, d * dd, e * ee, c * gamma), None
+
+    (p, A, q, d, e, c), _ = lax.scan(sweep, (p, A, q, d, e, c), None, length=iters)
+    scale = jnp.where(jnp.isfinite(qp.l), e, 1.0)
+    l_s = qp.l * scale
+    u_s = qp.u * jnp.where(jnp.isfinite(qp.u), e, 1.0)
+    return ScaledQp(p_diag=p, q=q, A=A, l=l_s, u=u_s, d=d, e=e, c=c)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_iter", "check_every", "segments", "scaling_iters", "adaptive_rho"),
+)
+def solve(
+    qp: QpData,
+    state: AdmmState,
+    sigma: float = 1e-6,
+    alpha: float = 1.6,
+    eq_scale: float = 1e3,
+    eps_abs: float = 1e-4,
+    eps_rel: float = 1e-4,
+    eps_eq_abs: float = 3e-4,
+    eps_dual_abs: float = 4e-5,
+    max_iter: int = 200,
+    check_every: int = 10,
+    segments: int = 4,
+    scaling_iters: int = 10,
+    adaptive_rho: bool = True,
+) -> AdmmSolution:
+    """Solve one QP from a warm-start state.
+
+    Single-scenario shapes; ``vmap`` over a leading batch axis for batches.
+    ``max_iter`` is split into ``segments`` equal chunks; rho adapts (and the
+    system is refactorized) between chunks.
+    """
+    dtype = qp.q.dtype
+    nz = qp.q.shape[-1]
+    s = ruiz_equilibrate(qp, scaling_iters)
+    is_eq = (qp.u - qp.l) < 1e-9
+
+    # scale warm start into the scaled space
+    x = state.x / s.d
+    z = jnp.clip(state.z * s.e, s.l, s.u)
+    y = s.c * state.y / s.e  # y = E y_hat / c  =>  y_hat = c E^{-1} y
+    rho = jnp.clip(state.rho, 1e-6, 1e6)
+
+    eye = jnp.eye(nz, dtype=dtype)
+    iters_per_seg = max_iter // segments
+
+    def run_segment(seg, carry):
+        x, z, y, rho, conv_iter = carry
+        rho_vec = jnp.where(is_eq, rho * eq_scale, rho)
+        AR = s.A * rho_vec[:, None]
+        M = jnp.diag(s.p_diag + sigma) + jnp.matmul(s.A.T, AR, precision=_PRECISION)
+        L = jnp.linalg.cholesky(M)
+        Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        Minv = jnp.matmul(Linv.T, Linv, precision=_PRECISION)
+
+        def body(k, inner):
+            x, z, y, conv_iter = inner
+            rhs = sigma * x - s.q + _mv(s.A.T, rho_vec * z - y)
+            xt = _mv(Minv, rhs)
+            axt = _mv(s.A, xt)
+            x_new = alpha * xt + (1.0 - alpha) * x
+            ax_relaxed = alpha * axt + (1.0 - alpha) * z
+            z_new = jnp.clip(ax_relaxed + y / rho_vec, s.l, s.u)
+            y_new = y + rho_vec * (ax_relaxed - z_new)
+
+            def check():
+                pr, dr = _unscaled_residuals(
+                    qp, s, is_eq, x_new, z_new, y_new, eps_abs, eps_rel, eps_eq_abs, eps_dual_abs
+                )
+                return (pr <= 1.0) & (dr <= 1.0)
+
+            it = seg * iters_per_seg + k + 1
+            do_check = (it % check_every) == 0
+            converged = lax.cond(do_check, check, lambda: jnp.array(False))
+            conv_iter = jnp.where(converged & (conv_iter < 0), it, conv_iter)
+            return (x_new, z_new, y_new, conv_iter)
+
+        x, z, y, conv_iter = lax.fori_loop(0, iters_per_seg, body, (x, z, y, conv_iter))
+
+        if adaptive_rho:
+            pr, dr = _unscaled_residuals(
+                qp, s, is_eq, x, z, y, eps_abs, eps_rel, eps_eq_abs, eps_dual_abs
+            )
+            ratio = jnp.sqrt(pr / jnp.maximum(dr, 1e-12))
+            rho = jnp.clip(rho * jnp.clip(ratio, 0.1, 10.0), 1e-6, 1e6)
+        return (x, z, y, rho, conv_iter)
+
+    conv0 = jnp.asarray(-1, jnp.int32)
+    carry = (x, z, y, rho, conv0)
+    for seg in range(segments):  # static unroll: refactorization points
+        carry = run_segment(seg, carry)
+    x, z, y, rho, conv_iter = carry
+
+    rp, rd = _raw_residuals(qp, s, x, z, y)
+    x_out = s.d * x
+    y_out = s.e * y / s.c
+    z_out = z / s.e
+    iters = jnp.where(conv_iter < 0, max_iter, conv_iter)
+    return AdmmSolution(
+        x=x_out,
+        y=y_out,
+        prim_res=rp,
+        dual_res=rd,
+        iters=iters,
+        state=AdmmState(x=x_out, z=z_out, y=y_out, rho=rho),
+    )
+
+
+def _raw_residuals(qp: QpData, s: ScaledQp, x_hat, z_hat, y_hat):
+    """Unscaled max-abs primal/dual residuals (for reporting)."""
+    x = s.d * x_hat
+    z = z_hat / s.e
+    y = s.e * y_hat / s.c
+    ax = _mv(qp.A, x)
+    rp = jnp.max(jnp.abs(ax - z))
+    rd = jnp.max(jnp.abs(qp.p_diag * x + qp.q + _mv(qp.A.T, y)))
+    return rp, rd
+
+
+def _unscaled_residuals(
+    qp: QpData, s: ScaledQp, is_eq, x_hat, z_hat, y_hat, eps_abs, eps_rel, eps_eq_abs, eps_dual_abs
+):
+    """Normalized termination quantities on the *unscaled* problem.
+
+    Returns (pr, dr): residuals divided by their tolerances; <= 1 means met.
+    The tolerances are row-type aware, targeted at the BASELINE 2% force
+    parity budget for the reference cost structure:
+
+    - dynamics equality rows get a tight *absolute* primal tolerance
+      (eps_eq_abs): slack r in an equality row implies a force inconsistency
+      ~ ||Bd^-1|| r ~ (m/dt) r ~ 700 r, so OSQP's relative criterion
+      (eps_rel * |z|_inf with |z| ~ 100 N) would admit multi-Newton errors;
+    - inequality rows use OSQP's eps_abs + eps_rel * scale;
+    - the dual criterion is *absolute* (eps_dual_abs): with R = 1e-5 the
+      force directions are nearly flat, so force error scales like
+      dual_res / (2R); 4e-5 = 2R * (2% of a 100 N force scale).
+    """
+    x = s.d * x_hat
+    z = z_hat / s.e
+    y = s.e * y_hat / s.c
+    ax = _mv(qp.A, x)
+    aty = _mv(qp.A.T, y)
+    px = qp.p_diag * x
+    r = jnp.abs(ax - z)
+    rp_eq = jnp.max(jnp.where(is_eq, r, 0.0))
+    rp_in = jnp.max(jnp.where(is_eq, 0.0, r))
+    ep_in = eps_abs + eps_rel * jnp.maximum(jnp.max(jnp.abs(ax)), jnp.max(jnp.abs(z)))
+    rd = jnp.max(jnp.abs(px + qp.q + aty))
+    pr = jnp.maximum(rp_eq / eps_eq_abs, rp_in / ep_in)
+    dr = rd / eps_dual_abs
+    return pr, dr
+
+
+def solve_batch(qp: QpData, state: AdmmState, **kwargs) -> AdmmSolution:
+    """Batched solve: every leaf of qp/state has a leading batch axis."""
+    return jax.vmap(lambda q, st: solve(q, st, **kwargs))(qp, state)
