@@ -104,6 +104,7 @@ class TickLog(NamedTuple):
     """Per-1kHz-tick logs (reference test_MPC.py:100-131 storage)."""
 
     x_vec: jnp.ndarray  # (12,) centroidal state
+    q: jnp.ndarray  # (19,) plant configuration (for replay/analysis)
     tau: jnp.ndarray  # (4, 3) applied (saturated) torques
     force: jnp.ndarray  # (4, 3) MPC contact forces in effect
     foot_pos_des: jnp.ndarray  # (4, 3)
@@ -233,9 +234,11 @@ def mpc_cycle(
         x_vec = jnp.concatenate(
             [leg_obs.pos_com_world, jnp.stack([rpy[0], rpy[1], yc]), raw6]
         )
+        q_pre = plant.q
         plant = P.step(dyn, contact, plant, tau.reshape(12), sim_dt)
         log = TickLog(
             x_vec=x_vec,
+            q=q_pre,
             tau=tau,
             force=u0,
             foot_pos_des=out.pos_des,

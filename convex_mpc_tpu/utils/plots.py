@@ -1,0 +1,186 @@
+"""Host-side matplotlib dashboards for simulation results.
+
+Capability port of the reference's plot_helper.py (reference
+plot_helper.py:4-307): contact forces with swing shading, per-leg torques,
+COM state grids, swing-foot tracking, solver timing/iteration views, and 3-D
+trajectory comparison — operating on the engine's stacked ``CycleLog``
+arrays instead of the reference's preallocated NumPy logs.
+
+Everything here is host-side analysis; nothing imports into the TPU compute
+path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LEG_NAMES = ("FL", "FR", "RL", "RR")
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def flatten_ticks(logs) -> dict:
+    """CycleLog (stacked over cycles) -> dict of flat per-tick arrays."""
+    t = logs.ticks
+    out = {
+        "x_vec": np.asarray(t.x_vec).reshape(-1, 12),
+        "tau": np.asarray(t.tau).reshape(-1, 12),
+        "force": np.asarray(t.force).reshape(-1, 12),
+        "foot_pos_des": np.asarray(t.foot_pos_des).reshape(-1, 4, 3),
+        "foot_pos_now": np.asarray(t.foot_pos_now).reshape(-1, 4, 3),
+        "contact_mask": np.asarray(t.contact_mask).reshape(-1, 4),
+        "solver_iters": np.asarray(logs.solver_iters),
+        "prim_res": np.asarray(logs.prim_res),
+        "dual_res": np.asarray(logs.dual_res),
+    }
+    out["t"] = np.arange(out["x_vec"].shape[0]) * 1e-3
+    return out
+
+
+def _shade_swing(ax, t, mask):
+    """Shade swing intervals (mask == 0), reference plot_helper.py:21-33."""
+    in_swing = mask == 0
+    if not in_swing.any():
+        return
+    d = np.diff(in_swing.astype(int))
+    starts = list(np.where(d == 1)[0] + 1)
+    ends = list(np.where(d == -1)[0] + 1)
+    if in_swing[0]:
+        starts = [0] + starts
+    if in_swing[-1]:
+        ends = ends + [len(t) - 1]
+    for s, e in zip(starts, ends):
+        ax.axvspan(t[s], t[e], color="0.9", zorder=0)
+
+
+def plot_contact_forces(logs, path=None, block=False):
+    """Per-leg MPC contact forces with swing shading (plot_helper.py:4-40)."""
+    plt = _plt()
+    d = flatten_ticks(logs)
+    fig, axes = plt.subplots(4, 1, figsize=(10, 9), sharex=True)
+    for leg in range(4):
+        ax = axes[leg]
+        _shade_swing(ax, d["t"], d["contact_mask"][:, leg])
+        for k, lbl in enumerate("xyz"):
+            ax.step(d["t"], d["force"][:, 3 * leg + k], where="post", label=f"f{lbl}")
+        ax.set_ylabel(f"{LEG_NAMES[leg]} [N]")
+        ax.legend(loc="upper right", fontsize=7)
+    axes[-1].set_xlabel("time [s]")
+    fig.suptitle("MPC contact forces (shaded = swing)")
+    return _finish(fig, path, block)
+
+
+def plot_mpc_result(logs, path=None, block=False):
+    """4x3 grid: leg forces, leg torques, COM pos/rpy, COM vel/omega
+    (plot_helper.py:82-184)."""
+    plt = _plt()
+    d = flatten_ticks(logs)
+    fig, axes = plt.subplots(4, 3, figsize=(15, 11), sharex=True)
+    x = d["x_vec"]
+    for leg in range(4):
+        axes[0, 0].plot(d["t"], d["force"][:, 3 * leg + 2], label=LEG_NAMES[leg])
+    axes[0, 0].set_title("fz per leg [N]")
+    for leg in range(4):
+        axes[0, 1].plot(d["t"], d["tau"][:, 3 * leg], label=LEG_NAMES[leg])
+    axes[0, 1].set_title("hip torque [Nm]")
+    for leg in range(4):
+        axes[0, 2].plot(d["t"], d["tau"][:, 3 * leg + 2], label=LEG_NAMES[leg])
+    axes[0, 2].set_title("calf torque [Nm]")
+    titles = [
+        ("x [m]", 0), ("y [m]", 1), ("z [m]", 2),
+        ("roll [rad]", 3), ("pitch [rad]", 4), ("yaw [rad]", 5),
+        ("vx [m/s]", 6), ("vy [m/s]", 7), ("vz [m/s]", 8),
+    ]
+    for i, (ttl, idx) in enumerate(titles):
+        ax = axes[1 + i // 3, i % 3]
+        ax.plot(d["t"], x[:, idx])
+        ax.set_title(ttl)
+    for ax in axes[0]:
+        ax.legend(fontsize=7)
+    axes[-1, 0].set_xlabel("time [s]")
+    fig.suptitle("MPC closed-loop result")
+    return _finish(fig, path, block)
+
+
+def plot_swing_foot_traj(logs, path=None, block=False):
+    """Desired vs actual foot trajectories (plot_helper.py:187-214)."""
+    plt = _plt()
+    d = flatten_ticks(logs)
+    fig, axes = plt.subplots(4, 3, figsize=(14, 10), sharex=True)
+    for leg in range(4):
+        for k, lbl in enumerate("xyz"):
+            ax = axes[leg, k]
+            _shade_swing(ax, d["t"], d["contact_mask"][:, leg])
+            ax.plot(d["t"], d["foot_pos_des"][:, leg, k], "--", label="des")
+            ax.plot(d["t"], d["foot_pos_now"][:, leg, k], label="now")
+            if leg == 0:
+                ax.set_title(lbl)
+            if k == 0:
+                ax.set_ylabel(LEG_NAMES[leg])
+    axes[0, 0].legend(fontsize=7)
+    fig.suptitle("swing foot tracking (shaded = swing)")
+    return _finish(fig, path, block)
+
+
+def plot_solver_stats(logs, mpc_dt=1 / 48.0, path=None, block=False):
+    """Solver iterations + residuals per MPC cycle vs the real-time budget
+    (capability of plot_helper.py:217-253's solve-time view)."""
+    plt = _plt()
+    d = flatten_ticks(logs)
+    cycles = np.arange(len(d["solver_iters"]))
+    fig, axes = plt.subplots(2, 1, figsize=(10, 7), sharex=True)
+    axes[0].bar(cycles, d["solver_iters"], width=1.0)
+    axes[0].set_ylabel("ADMM iterations")
+    axes[0].axhline(d["solver_iters"].mean(), color="r", ls="--",
+                    label=f"mean {d['solver_iters'].mean():.0f}")
+    axes[0].legend()
+    axes[1].semilogy(cycles, d["prim_res"], label="primal residual")
+    axes[1].semilogy(cycles, d["dual_res"], label="dual residual")
+    axes[1].set_xlabel("MPC cycle")
+    axes[1].legend()
+    fig.suptitle(f"QP solver per cycle (budget {mpc_dt*1e3:.1f} ms/cycle)")
+    return _finish(fig, path, block)
+
+
+def plot_traj_tracking(x_log, x_ref=None, path=None, block=False):
+    """3-D COM trajectory, actual vs reference (plot_helper.py:43-78)."""
+    plt = _plt()
+    fig = plt.figure(figsize=(8, 6))
+    ax = fig.add_subplot(projection="3d")
+    x_log = np.asarray(x_log)
+    ax.plot(x_log[:, 0], x_log[:, 1], x_log[:, 2], label="actual")
+    if x_ref is not None:
+        x_ref = np.asarray(x_ref)
+        ax.plot(x_ref[:, 0], x_ref[:, 1], x_ref[:, 2], "--", label="reference")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    ax.set_zlabel("z [m]")
+    ax.legend()
+    fig.suptitle("COM trajectory")
+    return _finish(fig, path, block)
+
+
+def hold_until_all_fig_closed():
+    """Block until every figure window is closed (plot_helper.py:306-307)."""
+    import matplotlib.pyplot as plt
+
+    plt.show(block=True)
+
+
+def _finish(fig, path, block):
+    if path is not None:
+        fig.savefig(path, dpi=110, bbox_inches="tight")
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+        return path
+    if block:
+        hold_until_all_fig_closed()
+    return fig

@@ -1,0 +1,116 @@
+"""Closed-loop Go2 trot demo — the equivalent of the reference's main entry
+(reference convex_mpc/test_MPC.py).
+
+Runs the reference's 10 s command schedule (forward 0.7, lateral 0.3,
+yaw 2.0, forward+yaw, forward 0.8 m/s) through the full TPU-native stack,
+prints a per-phase tracking summary, saves the dashboard plots, and can
+replay the run in the host MuJoCo viewer.
+
+Usage:
+    python examples/trot_demo.py [--seconds 10] [--vx V | --schedule ref]
+        [--plots DIR] [--replay] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--schedule", default="ref", choices=["ref", "const"])
+    ap.add_argument("--vx", type=float, default=0.5)
+    ap.add_argument("--wz", type=float, default=0.0)
+    ap.add_argument("--vy", type=float, default=0.0)
+    ap.add_argument("--plots", default=None, help="directory to save dashboards")
+    ap.add_argument("--replay", action="store_true", help="interactive MuJoCo replay")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--solver-iters", type=int, default=400)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_default_matmul_precision", "highest")
+    import numpy as np
+
+    from convex_mpc_tpu.control import gait as G
+    from convex_mpc_tpu.models import dynamics as D
+    from convex_mpc_tpu.sim import engine as E
+    from convex_mpc_tpu.sim import physics as P
+
+    dyn = D.build_dyn()
+    gait = G.make_gait_params(3.0, 0.6)
+    contact = P.default_contact(kn=30000, dn=1000)
+    if args.schedule == "ref":
+        sched = E.reference_schedule()
+    else:
+        sched = E.constant_schedule(vx=args.vx, vy=args.vy, wz=args.wz)
+
+    n_cycles = int(args.seconds * 48)
+    state = E.init_state(dyn, n=16)
+    state = state._replace(plant=P.init_plant(dyn, contact=contact))
+
+    print(f"[demo] backend={jax.default_backend()}  simulating {args.seconds:.1f}s "
+          f"({n_cycles} MPC cycles) ...")
+    t0 = time.perf_counter()
+    state, logs = E.simulate(
+        dyn, gait, contact, sched, state, n_cycles=n_cycles,
+        solver_iters=args.solver_iters,
+    )
+    jax.block_until_ready(state)
+    wall = time.perf_counter() - t0
+    print(f"[demo] done in {wall:.1f}s wall ({args.seconds / wall:.2f}x realtime)")
+
+    x = np.asarray(logs.ticks.x_vec).reshape(-1, 12)
+    assert np.isfinite(x).all(), "simulation produced non-finite state"
+
+    # per-phase tracking summary
+    phases = (
+        [(0, 1, "fwd 0.7"), (1.5, 3, "lat 0.3"), (4, 6, "yaw 2.0"),
+         (6.5, 8, "fwd 0.6 + yaw 2"), (8, 9, "fwd 0.8"), (9, 10, "stop")]
+        if args.schedule == "ref"
+        else [(0.5, args.seconds, f"vx={args.vx} vy={args.vy} wz={args.wz}")]
+    )
+    print(f"{'phase':18s} {'vx':>7s} {'vy':>7s} {'wz':>7s} {'z':>6s} {'|att|max':>8s}")
+    for a, b, name in phases:
+        seg = x[int(a * 1000):int(b * 1000)]
+        if len(seg) == 0:
+            continue
+        print(f"{name:18s} {seg[:, 6].mean():+7.3f} {seg[:, 7].mean():+7.3f} "
+              f"{seg[:, 11].mean():+7.3f} {seg[:, 2].mean():6.3f} "
+              f"{np.abs(seg[:, 3:5]).max():8.3f}")
+    it = np.asarray(logs.solver_iters)
+    print(f"[demo] solver: mean {it.mean():.0f} iters/cycle, "
+          f"converged {(it < args.solver_iters).mean() * 100:.0f}% of cycles")
+
+    if args.plots:
+        from convex_mpc_tpu.utils import plots as PL
+
+        out = Path(args.plots)
+        out.mkdir(parents=True, exist_ok=True)
+        PL.plot_contact_forces(logs, out / "contact_forces.png")
+        PL.plot_mpc_result(logs, out / "mpc_result.png")
+        PL.plot_swing_foot_traj(logs, out / "swing_foot.png")
+        PL.plot_solver_stats(logs, path=out / "solver.png")
+        PL.plot_traj_tracking(x, path=out / "traj3d.png")
+        print(f"[demo] plots saved to {out}/")
+
+    if args.replay:
+        from convex_mpc_tpu.sim.mujoco_bridge import MujocoGo2
+
+        q_log = np.asarray(logs.ticks.q).reshape(-1, 19)
+        tau_log = np.asarray(logs.ticks.tau).reshape(-1, 12)
+        t_log = np.arange(len(q_log)) * 1e-3
+        MujocoGo2().replay(t_log, q_log, tau_log)
+
+
+if __name__ == "__main__":
+    main()
