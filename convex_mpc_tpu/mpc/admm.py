@@ -73,6 +73,14 @@ class ScaledQp(NamedTuple):
     d: jnp.ndarray  # (nz,) variable scaling:   x = d * x_hat
     e: jnp.ndarray  # (m,) constraint scaling:  z = z_hat / e,  y = e * y_hat / c
     c: jnp.ndarray  # () cost scaling
+    p_dense: jnp.ndarray | None = None
+
+
+def _px(p_diag, p_dense, x):
+    """P @ x for diagonal or dense P."""
+    if p_dense is None:
+        return p_diag * x
+    return _mv(p_dense, x)
 
 
 def init_state(qp: QpData, rho: float = 0.1) -> AdmmState:
@@ -93,7 +101,8 @@ def ruiz_equilibrate(qp: QpData, iters: int = 10) -> ScaledQp:
     Returns the scaled problem and the diagonal scalings (d, e, c) with
     P_s = c D P D, q_s = c D q, A_s = E A D, l_s = E l, u_s = E u.
     """
-    p = qp.p_diag
+    dense = qp.p_dense is not None
+    p = qp.p_dense if dense else qp.p_diag
     A = qp.A
     q = qp.q
     nz = q.shape[-1]
@@ -103,19 +112,24 @@ def ruiz_equilibrate(qp: QpData, iters: int = 10) -> ScaledQp:
     e = jnp.ones((m,), dtype)
     c = jnp.asarray(1.0, dtype)
 
+    def col_norms_P(p):
+        return jnp.max(jnp.abs(p), axis=0) if dense else jnp.abs(p)
+
     def sweep(carry, _):
         p, A, q, d, e, c = carry
-        col_norm = jnp.maximum(jnp.max(jnp.abs(A), axis=0), jnp.abs(p))
+        col_norm = jnp.maximum(jnp.max(jnp.abs(A), axis=0), col_norms_P(p))
         dd = 1.0 / jnp.sqrt(jnp.maximum(col_norm, 1e-12))
         dd = jnp.clip(dd, 1e-6, 1e6)
         row_norm = jnp.max(jnp.abs(A * dd[None, :]), axis=1)
         ee = 1.0 / jnp.sqrt(jnp.maximum(row_norm, 1e-12))
         ee = jnp.clip(ee, 1e-6, 1e6)
         A = ee[:, None] * (A * dd[None, :])
-        p = dd * dd * p
+        p = (dd[:, None] * p * dd[None, :]) if dense else (dd * dd * p)
         q = dd * q
         # cost normalization (OSQP): gamma = 1/max(mean(|P| col norms), |q|_inf)
-        gamma = 1.0 / jnp.maximum(jnp.maximum(jnp.mean(jnp.abs(p)), jnp.max(jnp.abs(q))), 1e-12)
+        gamma = 1.0 / jnp.maximum(
+            jnp.maximum(jnp.mean(col_norms_P(p)), jnp.max(jnp.abs(q))), 1e-12
+        )
         gamma = jnp.clip(gamma, 1e-6, 1e6)
         p = gamma * p
         q = gamma * q
@@ -125,12 +139,19 @@ def ruiz_equilibrate(qp: QpData, iters: int = 10) -> ScaledQp:
     scale = jnp.where(jnp.isfinite(qp.l), e, 1.0)
     l_s = qp.l * scale
     u_s = qp.u * jnp.where(jnp.isfinite(qp.u), e, 1.0)
+    if dense:
+        return ScaledQp(
+            p_diag=jnp.diagonal(p), q=q, A=A, l=l_s, u=u_s, d=d, e=e, c=c, p_dense=p
+        )
     return ScaledQp(p_diag=p, q=q, A=A, l=l_s, u=u_s, d=d, e=e, c=c)
 
 
 @partial(
     jax.jit,
-    static_argnames=("max_iter", "check_every", "segments", "scaling_iters", "adaptive_rho"),
+    static_argnames=(
+        "max_iter", "check_every", "segments", "scaling_iters", "adaptive_rho",
+        "scaled_termination",
+    ),
 )
 def solve(
     qp: QpData,
@@ -147,6 +168,7 @@ def solve(
     segments: int = 4,
     scaling_iters: int = 10,
     adaptive_rho: bool = True,
+    scaled_termination: bool = False,
 ) -> AdmmSolution:
     """Solve one QP from a warm-start state.
 
@@ -172,7 +194,11 @@ def solve(
         x, z, y, rho, conv_iter = carry
         rho_vec = jnp.where(is_eq, rho * eq_scale, rho)
         AR = s.A * rho_vec[:, None]
-        M = jnp.diag(s.p_diag + sigma) + jnp.matmul(s.A.T, AR, precision=_PRECISION)
+        if s.p_dense is None:
+            P_mat = jnp.diag(s.p_diag + sigma)
+        else:
+            P_mat = s.p_dense + sigma * jnp.eye(nz, dtype=dtype)
+        M = P_mat + jnp.matmul(s.A.T, AR, precision=_PRECISION)
         L = jnp.linalg.cholesky(M)
         Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
         Minv = jnp.matmul(Linv.T, Linv, precision=_PRECISION)
@@ -188,8 +214,9 @@ def solve(
             y_new = y + rho_vec * (ax_relaxed - z_new)
 
             def check():
-                pr, dr = _unscaled_residuals(
-                    qp, s, is_eq, x_new, z_new, y_new, eps_abs, eps_rel, eps_eq_abs, eps_dual_abs
+                pr, dr = _residuals(
+                    qp, s, is_eq, x_new, z_new, y_new,
+                    eps_abs, eps_rel, eps_eq_abs, eps_dual_abs, scaled_termination,
                 )
                 return (pr <= 1.0) & (dr <= 1.0)
 
@@ -202,8 +229,9 @@ def solve(
         x, z, y, conv_iter = lax.fori_loop(0, iters_per_seg, body, (x, z, y, conv_iter))
 
         if adaptive_rho:
-            pr, dr = _unscaled_residuals(
-                qp, s, is_eq, x, z, y, eps_abs, eps_rel, eps_eq_abs, eps_dual_abs
+            pr, dr = _residuals(
+                qp, s, is_eq, x, z, y,
+                eps_abs, eps_rel, eps_eq_abs, eps_dual_abs, scaled_termination,
             )
             ratio = jnp.sqrt(pr / jnp.maximum(dr, 1e-12))
             rho = jnp.clip(rho * jnp.clip(ratio, 0.1, 10.0), 1e-6, 1e6)
@@ -237,8 +265,34 @@ def _raw_residuals(qp: QpData, s: ScaledQp, x_hat, z_hat, y_hat):
     y = s.e * y_hat / s.c
     ax = _mv(qp.A, x)
     rp = jnp.max(jnp.abs(ax - z))
-    rd = jnp.max(jnp.abs(qp.p_diag * x + qp.q + _mv(qp.A.T, y)))
+    rd = jnp.max(jnp.abs(_px(qp.p_diag, qp.p_dense, x) + qp.q + _mv(qp.A.T, y)))
     return rp, rd
+
+
+def _residuals(
+    qp, s, is_eq, x_hat, z_hat, y_hat,
+    eps_abs, eps_rel, eps_eq_abs, eps_dual_abs, scaled: bool,
+):
+    """Dispatch: unscaled row-type-aware criterion (full form) or OSQP-style
+    scaled-space criterion (condensed form; the reference's own OSQP options
+    set scaled_termination=True, centroidal_mpc.py:34). The scaled variant is
+    the right choice when the unscaled dense-P matvec has an f32 noise floor
+    above the force-accuracy-implied tolerance."""
+    if scaled:
+        ax = _mv(s.A, x_hat)
+        aty = _mv(s.A.T, y_hat)
+        px = _px(s.p_diag, s.p_dense, x_hat)
+        r = jnp.abs(ax - z_hat)
+        rp = jnp.max(r)
+        ep = eps_abs + eps_rel * jnp.maximum(jnp.max(jnp.abs(ax)), jnp.max(jnp.abs(z_hat)))
+        rd = jnp.max(jnp.abs(px + s.q + aty))
+        ed = eps_abs + eps_rel * jnp.maximum(
+            jnp.max(jnp.abs(px)), jnp.maximum(jnp.max(jnp.abs(aty)), jnp.max(jnp.abs(s.q)))
+        )
+        return rp / ep, rd / ed
+    return _unscaled_residuals(
+        qp, s, is_eq, x_hat, z_hat, y_hat, eps_abs, eps_rel, eps_eq_abs, eps_dual_abs
+    )
 
 
 def _unscaled_residuals(
@@ -264,7 +318,7 @@ def _unscaled_residuals(
     y = s.e * y_hat / s.c
     ax = _mv(qp.A, x)
     aty = _mv(qp.A.T, y)
-    px = qp.p_diag * x
+    px = _px(qp.p_diag, qp.p_dense, x)
     r = jnp.abs(ax - z)
     rp_eq = jnp.max(jnp.where(is_eq, r, 0.0))
     rp_in = jnp.max(jnp.where(is_eq, 0.0, r))

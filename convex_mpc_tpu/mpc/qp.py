@@ -47,13 +47,19 @@ _BIG = jnp.inf
 
 
 class QpData(NamedTuple):
-    """Dense QP: min 1/2 z'Pz + q'z  s.t.  l <= A z <= u. Batchable pytree."""
+    """Dense QP: min 1/2 z'Pz + q'z  s.t.  l <= A z <= u. Batchable pytree.
+
+    P is diagonal for the full-form MPC QP (p_dense None); the condensed
+    formulation carries a dense P in ``p_dense`` (p_diag then holds its
+    diagonal, used for preconditioning heuristics).
+    """
 
     p_diag: jnp.ndarray  # (nz,) diagonal of P
     q: jnp.ndarray  # (nz,)
     A: jnp.ndarray  # (m, nz)
     l: jnp.ndarray  # (m,)
     u: jnp.ndarray  # (m,)
+    p_dense: jnp.ndarray | None = None  # (nz, nz) dense P, if not diagonal
 
 
 def n_vars(n: int) -> int:

@@ -25,7 +25,7 @@ from convex_mpc_tpu.control import gait as G
 from convex_mpc_tpu.control import leg as L
 from convex_mpc_tpu.control import reference as R
 from convex_mpc_tpu.models import dynamics as D
-from convex_mpc_tpu.mpc import admm, qp
+from convex_mpc_tpu.mpc import admm, condensed, qp
 from convex_mpc_tpu.ops.linalg import ein
 from convex_mpc_tpu.ops.rotations import quat_to_rpy, yaw_unwrap_step
 from convex_mpc_tpu.sim import physics as P
@@ -119,12 +119,13 @@ class CycleLog(NamedTuple):
     dual_res: jnp.ndarray  # ()
 
 
-def init_state(dyn: D.Go2Dyn, n: int, x=0.0, y=0.0) -> EngineState:
+def init_state(dyn: D.Go2Dyn, n: int, x=0.0, y=0.0, formulation: str = "condensed") -> EngineState:
     plant = P.init_plant(dyn, x=x, y=y)
     com, _ = D.com_state(dyn, plant.q, jnp.zeros(18))
     x_vec0 = jnp.concatenate([com, jnp.zeros(9)])
-    nz = qp.n_vars(n)
-    m = qp.n_rows(n)
+    mod = condensed if formulation == "condensed" else qp
+    nz = mod.n_vars(n)
+    m = mod.n_rows(n)
     return EngineState(
         plant=plant,
         leg=L.init_state(),
@@ -175,7 +176,9 @@ def observe(
 
 @partial(
     jax.jit,
-    static_argnames=("n", "steps_per_mpc", "solver_iters", "tau_max", "mpc_dt", "sim_dt"),
+    static_argnames=(
+        "n", "steps_per_mpc", "solver_iters", "tau_max", "mpc_dt", "sim_dt", "formulation"
+    ),
 )
 def mpc_cycle(
     dyn: D.Go2Dyn,
@@ -194,6 +197,7 @@ def mpc_cycle(
     mu_mpc: float = 0.8,
     fz_min: float = 10.0,
     vel_filter_hz: float = 15.0,
+    formulation: str = "condensed",
 ) -> tuple[EngineState, CycleLog]:
     """One MPC period: solve the QP, then run steps_per_mpc 1 kHz ticks."""
     cmd = lookup_command(sched, state.t)
@@ -204,13 +208,36 @@ def mpc_cycle(
     traj, refgen = R.generate(
         state.refgen, gait, obs, cmd, state.t, mpc_dt, n
     )
-    data = qp.build_qp(
-        traj.dyn, traj.x0, traj.x_ref, traj.contact,
+    # Solve in a position-relative frame: the QP is translation-invariant in
+    # position, and shifting the origin to the current COM keeps q (and the
+    # f32 dual-residual floor) bounded no matter how far the robot walks.
+    p0 = traj.x0[0:3]
+    x0_s = traj.x0.at[0:3].set(0.0)
+    x_ref_s = traj.x_ref.at[:, 0:3].add(-p0)
+    qargs = (
+        traj.dyn, x0_s, x_ref_s, traj.contact,
         jnp.asarray(q_diag, jnp.float32), r_value, mu_mpc, fz_min,
     )
-    sol = admm.solve(data, state.solver, max_iter=solver_iters)
-    _, u_opt = qp.split_solution(sol.x, n)
-    u0 = u_opt[0].reshape(4, 3)
+    if formulation == "condensed":
+        # states eliminated: smaller QP, exact dynamics, but a dense-P f32
+        # matvec floor means the strict dual tolerance is unreachable while
+        # forces are already sub-0.1%-accurate (tests/test_condensed.py) —
+        # hence the relaxed eps_dual_abs
+        data, _ = condensed.build_condensed(*qargs)
+        # carry (x, y) warm starts but reset rho each solve: the Ruiz scaling
+        # of the condensed problem changes cycle to cycle, and a carried rho
+        # ratchets down to its clip and freezes the dual update
+        warm = state.solver._replace(rho=jnp.asarray(0.1, jnp.float32))
+        sol = admm.solve(
+            data, warm, max_iter=solver_iters,
+            scaled_termination=True, eps_abs=1e-4, eps_rel=1e-4,
+        )
+        u0 = sol.x[0:12].reshape(4, 3)
+    else:
+        data = qp.build_qp(*qargs)
+        sol = admm.solve(data, state.solver, max_iter=solver_iters)
+        _, u_opt = qp.split_solution(sol.x, n)
+        u0 = u_opt[0].reshape(4, 3)
 
     alpha = 1.0 - jnp.exp(-2.0 * jnp.pi * vel_filter_hz * sim_dt)
 
