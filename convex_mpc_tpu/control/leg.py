@@ -161,18 +161,26 @@ def compute_torques(
 
     # Early-contact handling: if a swing foot reaches the ground in the
     # second half of its swing (late touchdown expected soon), stop tracking
-    # the swing trajectory — driving a grounded foot along the descending
-    # min-jerk path injects large impulses. Instead hold a light support
-    # force until the gait phase flips to stance. (Standard quadruped
-    # practice; the reference controller lacks this and relies on MuJoCo's
-    # hard contacts to mask it.)
+    # the full swing trajectory — driving a grounded foot along the
+    # descending min-jerk path injects large impulses. Instead hold a light
+    # support force in z while continuing to steer xy toward the latched
+    # touchdown target (under ~15 N the Coulomb cap is low, so the PD can
+    # slide the foot the remaining distance) — freezing the foot wherever it
+    # grazed systematically places the support polygon short of the Raibert
+    # target and destabilizes lateral/turning gaits. (Standard quadruped
+    # practice; the reference relies on MuJoCo's hard contacts to mask it.)
     s_phase = jnp.clip(t_since / gait.swing_time, 0.0, 1.0)  # (4,)
     touching = obs.foot_pos[:, 2] - foot_radius <= ground_z + 1e-3
     early = (mask == 0) & (s_phase > 0.5) & touching
-    f_hold = jnp.concatenate(
-        [jnp.zeros((4, 2)), jnp.full((4, 1), early_contact_fz)], axis=1
-    )
-    tau_early = ein("lji,lj->li", J_leg, -f_hold)
+    # applied foot force: xy PD toward the latched touchdown clamped to the
+    # sliding-friction scale (so the body reaction stays small), light
+    # downward press
+    f_xy = kp * (swing_td[:, 0:2] - obs.foot_pos[:, 0:2]) - kd * obs.foot_vel[:, 0:2]
+    f_cap = 0.8 * early_contact_fz
+    f_norm = jnp.linalg.norm(f_xy, axis=1, keepdims=True)
+    f_xy = f_xy * jnp.minimum(1.0, f_cap / jnp.maximum(f_norm, 1e-6))
+    f_early = jnp.concatenate([f_xy, jnp.full((4, 1), -early_contact_fz)], axis=1)
+    tau_early = ein("lji,lj->li", J_leg, f_early)
 
     in_swing = (mask == 0)[:, None]
     tau = jnp.where(early[:, None], tau_early, jnp.where(in_swing, tau_swing, tau_stance))

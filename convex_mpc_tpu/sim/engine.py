@@ -196,7 +196,7 @@ def mpc_cycle(
     r_value: float = 1e-5,
     mu_mpc: float = 0.8,
     fz_min: float = 10.0,
-    vel_filter_hz: float = 15.0,
+    vel_filter_hz: float = 30.0,
     formulation: str = "condensed",
 ) -> tuple[EngineState, CycleLog]:
     """One MPC period: solve the QP, then run steps_per_mpc 1 kHz ticks."""
