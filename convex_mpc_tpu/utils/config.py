@@ -70,12 +70,12 @@ class SolverConfig:
     alpha: float = 1.6  # over-relaxation
     eps_abs: float = 1e-4
     eps_rel: float = 1e-4
-    max_iter: int = 250
-    check_every: int = 25
+    max_iter: int = 400
+    check_every: int = 10
     adaptive_rho: bool = True
-    adaptive_rho_interval: int = 25
     warm_start: bool = True
-    scaling_iters: int = 10  # Ruiz equilibration sweeps (reference scaling=5... eh: 10)
+    scaling_iters: int = 10  # Ruiz equilibration sweeps (reference scaling=5)
+    formulation: str = "condensed"  # "condensed" (fast path) or "full"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,12 +93,16 @@ class SimConfig:
 
     leg_ctrl_hz: int = 1000
     steps_per_mpc: int = 20  # 1000 // 48 (reference test_MPC.py:69)
-    # Soft-contact plant parameters (TPU-native plant; capability of MuJoCo)
-    contact_stiffness: float = 12000.0  # N/m
-    contact_damping: float = 250.0  # N/(m/s)
+    # Penalty-contact plant parameters (TPU-native plant; capability of
+    # MuJoCo). Tuned values — see sim/physics.py design notes.
+    contact_stiffness: float = 30000.0  # N/m
+    contact_damping: float = 1000.0  # N/(m/s)
     friction_mu: float = 0.8  # ground Coulomb friction (reference README.md:116)
     friction_vel_tol: float = 0.05  # m/s tangential regularization velocity
     ground_height: float = 0.0
+    armature: float = 0.01  # actuator rotor inertia, kg m^2
+    joint_damping: float = 0.1  # Nm/(rad/s)
+    vel_filter_hz: float = 30.0  # velocity estimator cutoff
 
     @property
     def dt(self) -> float:
@@ -121,6 +125,52 @@ class EngineConfig:
     def mpc_dt(self) -> float:
         """MPC step = gait period / horizon (reference test_MPC.py:67)."""
         return self.gait.period / self.mpc.horizon
+
+
+def engine_kwargs(cfg: "EngineConfig") -> dict:
+    """Static kwargs for sim.engine.mpc_cycle / simulate from the config tree."""
+    return dict(
+        n=cfg.mpc.horizon,
+        steps_per_mpc=cfg.sim.steps_per_mpc,
+        solver_iters=cfg.solver.max_iter,
+        tau_max=cfg.leg.tau_max,
+        mpc_dt=cfg.mpc_dt,
+        sim_dt=cfg.sim.dt,
+        q_diag=cfg.mpc.q_diag,
+        r_value=cfg.mpc.r_diag_value,
+        mu_mpc=cfg.mpc.mu,
+        fz_min=cfg.mpc.fz_min,
+        vel_filter_hz=cfg.sim.vel_filter_hz,
+        formulation=cfg.solver.formulation,
+    )
+
+
+def contact_from_config(cfg: "EngineConfig"):
+    """ContactParams built from the config tree."""
+    from convex_mpc_tpu.sim.physics import default_contact
+
+    return default_contact(
+        kn=cfg.sim.contact_stiffness,
+        dn=cfg.sim.contact_damping,
+        mu=cfg.sim.friction_mu,
+        vtol=cfg.sim.friction_vel_tol,
+        ground_z=cfg.sim.ground_height,
+        armature=cfg.sim.armature,
+        joint_damping=cfg.sim.joint_damping,
+    )
+
+
+def gait_from_config(cfg: "EngineConfig"):
+    """GaitParams built from the config tree."""
+    from convex_mpc_tpu.control.gait import make_gait_params
+
+    return make_gait_params(
+        frequency_hz=cfg.gait.frequency_hz,
+        duty=cfg.gait.duty,
+        phase_offset=cfg.gait.phase_offset,
+        swing_height=cfg.gait.swing_height,
+        touchdown_z=cfg.gait.touchdown_z,
+    )
 
 
 DEFAULT_CONFIG = EngineConfig()

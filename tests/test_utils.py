@@ -1,0 +1,101 @@
+"""Config wiring, checkpoint round-trip, profiling stats, horizon sweep."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convex_mpc_tpu.models import dynamics as D
+from convex_mpc_tpu.sim import engine as E
+from convex_mpc_tpu.sim import physics as P
+from convex_mpc_tpu.utils import checkpoint as C
+from convex_mpc_tpu.utils import profiling as PR
+from convex_mpc_tpu.utils.config import (
+    DEFAULT_CONFIG,
+    EngineConfig,
+    GaitConfig,
+    MpcConfig,
+    contact_from_config,
+    engine_kwargs,
+    gait_from_config,
+)
+
+
+@pytest.fixture(scope="module")
+def dyn():
+    return D.build_dyn()
+
+
+def test_config_driven_cycle(dyn):
+    cfg = DEFAULT_CONFIG
+    gait = gait_from_config(cfg)
+    contact = contact_from_config(cfg)
+    kw = engine_kwargs(cfg)
+    state = E.init_state(dyn, n=cfg.mpc.horizon, formulation=cfg.solver.formulation)
+    state = state._replace(plant=P.init_plant(dyn, contact=contact))
+    state, log = E.mpc_cycle(dyn, gait, contact, E.constant_schedule(), state, **kw)
+    assert np.isfinite(np.asarray(log.ticks.x_vec)).all()
+
+
+@pytest.mark.parametrize("horizon", [10, 24, 32])
+def test_horizon_sweep(dyn, horizon):
+    """BASELINE config 5: 10-32 step horizons, mpc_dt = gait period / N."""
+    cfg = EngineConfig(mpc=MpcConfig(horizon=horizon))
+    gait = gait_from_config(cfg)
+    contact = contact_from_config(cfg)
+    kw = engine_kwargs(cfg)
+    # keep the 1 kHz inner rate aligned with the mpc period
+    kw["steps_per_mpc"] = max(1, int(round(cfg.mpc_dt * 1000)))
+    state = E.init_state(dyn, n=horizon)
+    state = state._replace(plant=P.init_plant(dyn, contact=contact))
+    sched = E.constant_schedule(vx=0.3)
+    state, logs = E.simulate(dyn, gait, contact, sched, state, n_cycles=12, **kw)
+    x = np.asarray(logs.ticks.x_vec)
+    assert np.isfinite(x).all()
+    assert x[..., 2].min() > 0.15  # stays up through ~0.25 s
+
+
+def test_checkpoint_roundtrip(dyn):
+    state = E.init_state(dyn, n=16)
+    state = state._replace(t=jnp.asarray(1.234), u0=jnp.ones((4, 3)) * 7)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ckpt.npz")
+        C.save_pytree(path, state)
+        like = E.init_state(dyn, n=16)
+        restored = C.load_pytree(path, like)
+    assert float(restored.t) == pytest.approx(1.234)
+    np.testing.assert_allclose(np.asarray(restored.u0), 7.0)
+    # full tree equality
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_shape_mismatch_raises(dyn):
+    state = E.init_state(dyn, n=16)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ckpt.npz")
+        C.save_pytree(path, state)
+        with pytest.raises((ValueError, KeyError)):
+            C.load_pytree(path, E.init_state(dyn, n=10))
+
+
+def test_solve_stats(dyn):
+    cfg = DEFAULT_CONFIG
+    gait = gait_from_config(cfg)
+    contact = contact_from_config(cfg)
+    state = E.init_state(dyn, n=16)
+    state = state._replace(plant=P.init_plant(dyn, contact=contact))
+    state, logs = E.simulate(
+        dyn, gait, contact, E.constant_schedule(), state, n_cycles=6, solver_iters=300
+    )
+    stats = PR.SolveStats()
+    stats.update(logs, max_iter=300)
+    s = stats.summary()
+    assert s["cycles"] == 6
+    assert 0 < s["iters_mean"] <= 300
