@@ -42,6 +42,7 @@ class LegObs(NamedTuple):
     pos_com_world: jnp.ndarray  # (3,)
     vel_com_world: jnp.ndarray  # (3,)
     yaw: jnp.ndarray  # () continuous yaw
+    base_R: jnp.ndarray  # (3, 3) base orientation (for plant-step reuse)
 
 
 class LegControlState(NamedTuple):
@@ -91,6 +92,7 @@ def make_leg_obs(dyn: D.Go2Dyn, q: jnp.ndarray, dq: jnp.ndarray, yaw) -> LegObs:
         pos_com_world=com,
         vel_com_world=vcom,
         yaw=jnp.asarray(yaw),
+        base_R=poses.R[0],
     )
 
 

@@ -262,7 +262,12 @@ def mpc_cycle(
             [leg_obs.pos_com_world, jnp.stack([rpy[0], rpy[1], yc]), raw6]
         )
         q_pre = plant.q
-        plant = P.step(dyn, contact, plant, tau.reshape(12), sim_dt)
+        plant = P.step(
+            dyn, contact, plant, tau.reshape(12), sim_dt,
+            J=leg_obs.J_feet, M=leg_obs.M, bias=leg_obs.bias,
+            base_R=leg_obs.base_R, foot_pos=leg_obs.foot_pos,
+            foot_vel=leg_obs.foot_vel,
+        )
         log = TickLog(
             x_vec=x_vec,
             q=q_pre,

@@ -53,8 +53,8 @@ class ContactParams(NamedTuple):
 
 
 def default_contact(
-    kn: float = 5000.0,
-    dn: float = 300.0,
+    kn: float = 30000.0,
+    dn: float = 1000.0,
     mu: float = 0.8,
     vtol: float = 0.05,
     ground_z: float = 0.0,
@@ -63,8 +63,8 @@ def default_contact(
     joint_damping: float = 0.1,
 ) -> ContactParams:
     """Defaults match the public Unitree Go2 MuJoCo model's actuator
-    armature/damping; contact gains chosen for a stable 1 kHz penalty plant
-    with ~7 mm equilibrium penetration."""
+    armature/damping; contact gains tuned for a stable 1 kHz penalty plant
+    (~1.2 mm equilibrium penetration, implicit damping keeps it stable)."""
     return ContactParams(
         kn=jnp.asarray(kn),
         dn=jnp.asarray(dn),
@@ -155,22 +155,39 @@ def step(
     state: PlantState,
     tau_joints: jnp.ndarray,  # (12,) applied joint torques
     dt,
+    *,
+    J=None,  # (4, 3, 18) precomputed foot Jacobians (e.g. from the leg obs)
+    M=None,  # (18, 18) precomputed mass matrix WITHOUT armature
+    bias=None,  # (18,) precomputed C dq + g
+    base_R=None,  # (3, 3) base orientation
+    foot_pos=None,  # (4, 3)
+    foot_vel=None,  # (4, 3)
 ) -> PlantState:
-    """One semi-implicit Euler step with implicit contact damping."""
+    """One semi-implicit Euler step with implicit contact damping.
+
+    The controller tick computes FK/J/M/bias anyway (leg.make_leg_obs); pass
+    them in to avoid recomputing the whole model twice per 1 kHz tick.
+    """
     q, dq = state.q, state.dq
-    poses = K.fk(dyn.kin, q)
-    J = jnp.stack(
-        [K.point_jacobian(poses, poses.foot_w[l], 3 + 3 * l) for l in range(4)]
-    )  # (4, 3, 18)
-    foot_vel = ein("lij,j->li", J, dq)
+    if J is None or base_R is None or foot_pos is None:
+        poses = K.fk(dyn.kin, q)
+        base_R = poses.R[0]
+        foot_pos = poses.foot_w
+        J = jnp.stack(
+            [K.point_jacobian(poses, poses.foot_w[l], 3 + 3 * l) for l in range(4)]
+        )  # (4, 3, 18)
+    if foot_vel is None:
+        foot_vel = ein("lij,j->li", J, dq)
 
-    f0, C, _ = _contact_terms(contact, poses.foot_w, foot_vel)
+    f0, C, _ = _contact_terms(contact, foot_pos, foot_vel)
 
-    M = D.mass_matrix(dyn, q)
+    if M is None:
+        M = D.mass_matrix(dyn, q)
     # actuator rotor inertia (armature) on the joint diagonal
     arm = jnp.concatenate([jnp.zeros((6,), q.dtype), jnp.full((12,), contact.armature, q.dtype)])
     M = M + jnp.diag(arm)
-    bias = D.bias_forces(dyn, q, dq)
+    if bias is None:
+        bias = D.bias_forces(dyn, q, dq)
     tau_gen = jnp.concatenate([jnp.zeros((6,), q.dtype), tau_joints])
 
     rhs = ein("ij,j->i", M, dq) + dt * (tau_gen - bias + ein("lij,li->j", J, f0))
@@ -180,7 +197,7 @@ def step(
     dq_new = jax.scipy.linalg.cho_solve((jnp.linalg.cholesky(A), True), rhs)
 
     # integrate q with the *new* velocity (semi-implicit)
-    pos_new = q[0:3] + dt * ein("ij,j->i", poses.R[0], dq_new[0:3])
+    pos_new = q[0:3] + dt * ein("ij,j->i", base_R, dq_new[0:3])
     quat_new = quat_integrate(q[3:7], dq_new[3:6], dt)
     joints_new = q[7:19] + dt * dq_new[6:18]
     q_new = jnp.concatenate([pos_new, quat_new, joints_new])
