@@ -22,7 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=50)
-    ap.add_argument("--iters", type=int, default=400)
+    ap.add_argument("--iters", type=int, default=150)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -42,6 +42,7 @@ def main():
     Q = np.array([1, 1, 50, 10, 20, 1, 2, 2, 1, 1, 1, 1], float)
     rng = np.random.default_rng(0)
 
+    # mirror the engine's production solver settings (sim/engine.py)
     solve = jax.jit(
         lambda d, s: admm.solve(
             d, s, max_iter=args.iters, scaled_termination=True,
@@ -86,7 +87,8 @@ def main():
             jnp.asarray(Q, jnp.float32),
             1e-5, 0.8, 10.0,
         )
-        sol = solve(data, admm.init_state(data))
+        st = admm.init_state(data)._replace(rho=jnp.asarray(0.1, jnp.float32))
+        sol = solve(data, st)
         u = np.asarray(sol.x).reshape(16, 12)
         scale = max(np.abs(u_ref[0]).max(), 1.0)
         errs.append(np.abs(u[0] - u_ref[0]).max() / scale)
