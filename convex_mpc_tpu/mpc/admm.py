@@ -150,7 +150,7 @@ def ruiz_equilibrate(qp: QpData, iters: int = 10) -> ScaledQp:
     jax.jit,
     static_argnames=(
         "max_iter", "check_every", "segments", "scaling_iters", "adaptive_rho",
-        "scaled_termination",
+        "scaled_termination", "use_pallas", "pallas_precision",
     ),
 )
 def solve(
@@ -169,6 +169,8 @@ def solve(
     scaling_iters: int = 10,
     adaptive_rho: bool = True,
     scaled_termination: bool = False,
+    use_pallas: bool = False,
+    pallas_precision=lax.Precision.HIGHEST,
 ) -> AdmmSolution:
     """Solve one QP from a warm-start state.
 
@@ -203,30 +205,45 @@ def solve(
         Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
         Minv = jnp.matmul(Linv.T, Linv, precision=_PRECISION)
 
-        def body(k, inner):
-            x, z, y, conv_iter = inner
-            rhs = sigma * x - s.q + _mv(s.A.T, rho_vec * z - y)
-            xt = _mv(Minv, rhs)
-            axt = _mv(s.A, xt)
-            x_new = alpha * xt + (1.0 - alpha) * x
-            ax_relaxed = alpha * axt + (1.0 - alpha) * z
-            z_new = jnp.clip(ax_relaxed + y / rho_vec, s.l, s.u)
-            y_new = y + rho_vec * (ax_relaxed - z_new)
+        if use_pallas:
+            # VMEM-resident iteration kernel (mpc.kernels): no per-iteration
+            # convergence checks — residuals are evaluated at segment ends
+            from convex_mpc_tpu.mpc import kernels
 
-            def check():
-                pr, dr = _residuals(
-                    qp, s, is_eq, x_new, z_new, y_new,
-                    eps_abs, eps_rel, eps_eq_abs, eps_dual_abs, scaled_termination,
-                )
-                return (pr <= 1.0) & (dr <= 1.0)
+            x1, z1, y1 = kernels.admm_iterations(
+                s.A[None], Minv[None], s.q[None], s.l[None], s.u[None],
+                rho_vec[None], x[None], z[None], y[None],
+                iters=iters_per_seg, sigma=sigma, alpha=alpha, block_k=1,
+                precision=pallas_precision,
+            )
+            x, z, y = x1[0], z1[0], y1[0]
+        else:
+            def body(k, inner):
+                x, z, y, conv_iter = inner
+                rhs = sigma * x - s.q + _mv(s.A.T, rho_vec * z - y)
+                xt = _mv(Minv, rhs)
+                axt = _mv(s.A, xt)
+                x_new = alpha * xt + (1.0 - alpha) * x
+                ax_relaxed = alpha * axt + (1.0 - alpha) * z
+                z_new = jnp.clip(ax_relaxed + y / rho_vec, s.l, s.u)
+                y_new = y + rho_vec * (ax_relaxed - z_new)
 
-            it = seg * iters_per_seg + k + 1
-            do_check = (it % check_every) == 0
-            converged = lax.cond(do_check, check, lambda: jnp.array(False))
-            conv_iter = jnp.where(converged & (conv_iter < 0), it, conv_iter)
-            return (x_new, z_new, y_new, conv_iter)
+                def check():
+                    pr, dr = _residuals(
+                        qp, s, is_eq, x_new, z_new, y_new,
+                        eps_abs, eps_rel, eps_eq_abs, eps_dual_abs, scaled_termination,
+                    )
+                    return (pr <= 1.0) & (dr <= 1.0)
 
-        x, z, y, conv_iter = lax.fori_loop(0, iters_per_seg, body, (x, z, y, conv_iter))
+                it = seg * iters_per_seg + k + 1
+                do_check = (it % check_every) == 0
+                converged = lax.cond(do_check, check, lambda: jnp.array(False))
+                conv_iter = jnp.where(converged & (conv_iter < 0), it, conv_iter)
+                return (x_new, z_new, y_new, conv_iter)
+
+            x, z, y, conv_iter = lax.fori_loop(
+                0, iters_per_seg, body, (x, z, y, conv_iter)
+            )
 
         if adaptive_rho:
             pr, dr = _residuals(

@@ -177,7 +177,8 @@ def observe(
 @partial(
     jax.jit,
     static_argnames=(
-        "n", "steps_per_mpc", "solver_iters", "tau_max", "mpc_dt", "sim_dt", "formulation"
+        "n", "steps_per_mpc", "solver_iters", "tau_max", "mpc_dt", "sim_dt", "formulation",
+        "use_pallas",
     ),
 )
 def mpc_cycle(
@@ -198,6 +199,7 @@ def mpc_cycle(
     fz_min: float = 10.0,
     vel_filter_hz: float = 30.0,
     formulation: str = "condensed",
+    use_pallas: bool = False,
 ) -> tuple[EngineState, CycleLog]:
     """One MPC period: solve the QP, then run steps_per_mpc 1 kHz ticks."""
     cmd = lookup_command(sched, state.t)
@@ -235,6 +237,7 @@ def mpc_cycle(
         sol = admm.solve(
             data, warm, max_iter=solver_iters,
             scaled_termination=True, eps_abs=1e-4, eps_rel=1e-4,
+            use_pallas=use_pallas,
         )
         u0 = sol.x[0:12].reshape(4, 3)
     else:

@@ -1,0 +1,89 @@
+"""Pallas ADMM kernel vs a plain-jnp reference of the same iteration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def reference_iterations(A, Minv, q, l, u, rho, x, z, y, iters, sigma=1e-6, alpha=1.6):
+    for _ in range(iters):
+        t = rho * z - y
+        rhs = sigma * x - q + np.einsum("bmn,bm->bn", A, t)
+        xt = np.einsum("bnk,bk->bn", Minv, rhs)
+        axt = np.einsum("bmn,bn->bm", A, xt)
+        x = alpha * xt + (1 - alpha) * x
+        ax_rel = alpha * axt + (1 - alpha) * z
+        z_new = np.clip(ax_rel + y / np.where(rho > 0, rho, 1.0), l, u)
+        y = y + rho * (ax_rel - z_new)
+        z = z_new
+    return x, z, y
+
+
+def make_problem(b=3, m=56, n=24, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(b, m, n)).astype(np.float32) * 0.3
+    Q = rng.normal(size=(b, n, n)).astype(np.float32) * 0.1
+    Minv = np.einsum("bij,bkj->bik", Q, Q) + np.eye(n, dtype=np.float32) * 0.5
+    q = rng.normal(size=(b, n)).astype(np.float32)
+    l = -np.abs(rng.normal(size=(b, m)).astype(np.float32))
+    u = np.abs(rng.normal(size=(b, m)).astype(np.float32))
+    rho = np.abs(rng.normal(size=(b, m)).astype(np.float32)) + 0.1
+    x = rng.normal(size=(b, n)).astype(np.float32) * 0.1
+    z = np.clip(rng.normal(size=(b, m)).astype(np.float32) * 0.1, l, u)
+    y = rng.normal(size=(b, m)).astype(np.float32) * 0.1
+    return A, Minv, q, l, u, rho, x, z, y
+
+
+@pytest.mark.parametrize("iters", [1, 7])
+def test_kernel_matches_reference(iters):
+    from convex_mpc_tpu.mpc import kernels
+
+    args = make_problem()
+    x_ref, z_ref, y_ref = reference_iterations(*[a.copy() for a in args], iters=iters)
+    A, Minv, q, l, u, rho, x, z, y = [jnp.asarray(a) for a in args]
+    x_k, z_k, y_k = kernels.admm_iterations(
+        A, Minv, q, l, u, rho, x, z, y, iters=iters, block_k=2
+    )
+    np.testing.assert_allclose(np.asarray(x_k), x_ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(z_k), z_ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(y_k), y_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_on_real_qp():
+    """Kernel iterations on the actual condensed MPC QP reach the optimum."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import qp_oracle as oracle
+    from convex_mpc_tpu.control.srb import SrbDynamics
+    from convex_mpc_tpu.mpc import admm, condensed
+
+    Q_DIAG = np.array([1, 1, 50, 10, 20, 1, 2, 2, 1, 1, 1, 1], float)
+    sc = oracle.trot_scenario(t0=0.123, vx=0.5, wz=0.5, seed=3)
+    dyn = SrbDynamics(
+        Ad=jnp.asarray(sc["Ad"], jnp.float32),
+        Bd=jnp.asarray(sc["Bd"], jnp.float32),
+        gd=jnp.asarray(sc["gd"], jnp.float32),
+    )
+    data, _ = condensed.build_condensed(
+        dyn,
+        jnp.asarray(sc["x0"], jnp.float32),
+        jnp.asarray(sc["x_ref"], jnp.float32),
+        jnp.asarray(sc["contact"]),
+        jnp.asarray(Q_DIAG, jnp.float32),
+        1e-5, 0.8, 10.0,
+    )
+    sol_ref = admm.solve(
+        data, admm.init_state(data), max_iter=400,
+        scaled_termination=True, eps_abs=1e-4, eps_rel=1e-4,
+    )
+    sol_k = admm.solve(
+        data, admm.init_state(data), max_iter=400,
+        scaled_termination=True, eps_abs=1e-4, eps_rel=1e-4,
+        use_pallas=True,
+    )
+    u_ref = np.asarray(sol_ref.x).reshape(16, 12)
+    u_k = np.asarray(sol_k.x).reshape(16, 12)
+    scale = max(np.abs(u_ref).max(), 1.0)
+    assert np.abs(u_k - u_ref).max() / scale < 0.005
