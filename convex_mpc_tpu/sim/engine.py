@@ -237,7 +237,7 @@ def mpc_cycle(
         sol = admm.solve(
             data, warm, max_iter=solver_iters,
             scaled_termination=True, eps_abs=1e-4, eps_rel=1e-4,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, box_tail=n * 12,
         )
         u0 = sol.x[0:12].reshape(4, 3)
     else:

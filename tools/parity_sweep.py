@@ -46,7 +46,7 @@ def main():
     solve = jax.jit(
         lambda d, s: admm.solve(
             d, s, max_iter=args.iters, scaled_termination=True,
-            eps_abs=1e-4, eps_rel=1e-4,
+            eps_abs=1e-4, eps_rel=1e-4, box_tail=192,
         )
     )
 
