@@ -90,3 +90,22 @@ def test_engine_vmap_batch(setup):
     qs = jax.vmap(rollout_one)(jnp.arange(3.0))
     assert qs.shape == (3, 19)
     assert bool(jnp.all(jnp.isfinite(qs)))
+
+
+def test_bound_gait(setup):
+    # beyond the reference's trot: bound (front/rear pairs in antiphase)
+    dyn, contact = setup
+    import jax.numpy as jnp
+
+    gait = G.GaitParams(
+        period=jnp.asarray(1.0 / 3.0),
+        duty=jnp.asarray(0.65),
+        phase_offset=jnp.asarray([0.0, 0.0, 0.5, 0.5]),
+        swing_height=jnp.asarray(0.1),
+        touchdown_z=jnp.asarray(0.02),
+    )
+    _, x, _ = run(dyn, contact, gait, E.constant_schedule(vx=0.3), 96)
+    assert np.isfinite(x).all()
+    tail = x[1000:]
+    assert 0.15 < tail[:, 6].mean() < 0.45
+    assert np.abs(tail[:, 3:5]).max() < 0.3
