@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--vy", type=float, default=0.0)
     ap.add_argument("--plots", default=None, help="directory to save dashboards")
     ap.add_argument("--replay", action="store_true", help="interactive MuJoCo replay")
+    ap.add_argument("--save-traj", default=None, help="save q/tau/x logs to this .npz")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--solver-iters", type=int, default=400)
     args = ap.parse_args()
@@ -102,6 +103,19 @@ def main():
         PL.plot_solver_stats(logs, path=out / "solver.png")
         PL.plot_traj_tracking(x, path=out / "traj3d.png")
         print(f"[demo] plots saved to {out}/")
+
+    if args.save_traj:
+        q_log = np.asarray(logs.ticks.q).reshape(-1, 19)
+        tau_log = np.asarray(logs.ticks.tau).reshape(-1, 12)
+        np.savez_compressed(
+            args.save_traj,
+            t=np.arange(len(q_log)) * 1e-3, q=q_log, tau=tau_log, x_vec=x,
+            force=np.asarray(logs.ticks.force).reshape(-1, 12),
+        )
+        print(f"[demo] trajectory saved to {args.save_traj} "
+              f"(replay offline: python -c \"import numpy as np; "
+              f"from convex_mpc_tpu.sim.mujoco_bridge import MujocoGo2; "
+              f"d=np.load('{args.save_traj}'); MujocoGo2().replay(d['t'], d['q'], d['tau'])\")")
 
     if args.replay:
         from convex_mpc_tpu.sim.mujoco_bridge import MujocoGo2

@@ -1,0 +1,100 @@
+"""Closed-loop force-trajectory parity: the BASELINE metric, measured in-loop.
+
+Runs the actual closed-loop engine (warm-started production solver) and, at
+every MPC cycle, also solves the *same* QP with the independent native f64
+oracle. Reports the error of the applied (first-step) contact forces over
+the whole run — "contact-force trajectories within 2% of the CasADi/OSQP
+reference" measured exactly as the controller consumes them.
+
+Usage: python tools/loop_parity.py [--seconds 3] [--vx 0.5] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=3.0)
+    ap.add_argument("--vx", type=float, default=0.5)
+    ap.add_argument("--wz", type=float, default=0.0)
+    ap.add_argument("--solver-iters", type=int, default=400)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convex_mpc_tpu.control import gait as G
+    from convex_mpc_tpu.control import reference as R
+    from convex_mpc_tpu.models import dynamics as D
+    from convex_mpc_tpu.mpc import condensed
+    from convex_mpc_tpu.sim import engine as E
+    from convex_mpc_tpu.sim import physics as P
+    from convex_mpc_tpu.utils.native_oracle import solve_qp_native
+
+    Q = np.array([1, 1, 50, 10, 20, 1, 2, 2, 1, 1, 1, 1], float)
+    dyn = D.build_dyn()
+    gait = G.make_gait_params(3.0, 0.6)
+    contact = P.default_contact()
+    sched = E.constant_schedule(vx=args.vx, wz=args.wz)
+    state = E.init_state(dyn, n=16)
+    state = state._replace(plant=P.init_plant(dyn, contact=contact))
+
+    import qp_oracle as oracle
+
+    n_cycles = int(args.seconds * 48)
+    errs, fzs = [], []
+    for cyc in range(n_cycles):
+        # capture the exact QP the engine will solve this cycle
+        cmd = E.lookup_command(sched, state.t)
+        obs, _, _ = E.observe(dyn, state.plant, state.yaw_cont, state.yaw_prev, state.vel_filt)
+        traj, _ = R.generate(state.refgen, gait, obs, cmd, state.t, (1 / 3.0) / 16, 16)
+        p0 = np.asarray(traj.x0[0:3], float)
+        x0_s = np.asarray(traj.x0, float).copy()
+        x0_s[0:3] = 0.0
+        x_ref_s = np.asarray(traj.x_ref, float).copy()
+        x_ref_s[:, 0:3] -= p0
+
+        d = oracle.assemble_qp(
+            np.asarray(traj.dyn.Ad, float), np.asarray(traj.dyn.Bd, float),
+            np.asarray(traj.dyn.gd, float), x0_s, x_ref_s,
+            np.asarray(traj.contact), Q, 1e-5, 0.8, 10.0,
+        )
+        x64, _, info = solve_qp_native(d["P"], d["q"], d["A"], d["l"], d["u"], max_iter=8000)
+        if info["kkt"] > 1e-6:
+            x64, _, info = solve_qp_native(d["P"], d["q"], d["A"], d["l"], d["u"], max_iter=60000)
+        u_ref0 = x64[192:204]
+
+        # step the engine (its own solve, warm-started)
+        state, log = E.mpc_cycle(
+            dyn, gait, contact, sched, state, solver_iters=args.solver_iters
+        )
+        u0 = np.asarray(state.u0, float).reshape(12)
+        scale = max(np.abs(u_ref0).max(), 1.0)
+        errs.append(np.abs(u0 - u_ref0).max() / scale)
+        fzs.append(u_ref0[2::3].sum())
+
+    errs = np.asarray(errs) * 100
+    print(f"cycles: {n_cycles}  (commanded vx={args.vx} wz={args.wz})")
+    print(
+        f"in-loop applied-force error vs f64 optimum [%]: "
+        f"mean {errs.mean():.3f}  p95 {np.percentile(errs, 95):.3f}  max {errs.max():.3f}"
+    )
+    print(f"over 2% budget: {(errs > 2.0).sum()}/{n_cycles} cycles")
+    sys.exit(0 if (errs > 2.0).mean() < 0.02 else 1)
+
+
+if __name__ == "__main__":
+    main()
