@@ -22,8 +22,19 @@ def _inertial(link) -> str:
     )
 
 
-def go2_mjcf(params: Go2Params = DEFAULT_PARAMS, ground: bool = True, mu: float = 0.8) -> str:
-    """Build the MJCF XML string (torque-actuated, foot spheres, flat ground)."""
+def go2_mjcf(
+    params: Go2Params = DEFAULT_PARAMS,
+    ground: bool = True,
+    mu: float = 0.8,
+    armature: float = 0.0,
+    joint_damping: float = 0.0,
+) -> str:
+    """Build the MJCF XML string (torque-actuated, foot spheres, flat ground).
+
+    ``armature``/``joint_damping`` default to 0 so the bare model matches the
+    analytic dynamics exactly (tests); pass the actuator values (0.01 / 0.1,
+    as in the public Unitree model) for realistic closed-loop simulation.
+    """
     p = params
     legs = []
     for leg_idx, leg in enumerate(LEG_NAMES):
@@ -37,13 +48,13 @@ def go2_mjcf(params: Go2Params = DEFAULT_PARAMS, ground: bool = True, mu: float 
         legs.append(f"""
       <body name="{leg}_hip" pos="{hx} {hy} {hz}">
         {_inertial(hip)}
-        <joint name="{leg}_hip_joint" type="hinge" axis="1 0 0" damping="0.0"/>
+        <joint name="{leg}_hip_joint" type="hinge" axis="1 0 0" damping="{joint_damping}" armature="{armature}"/>
         <body name="{leg}_thigh" pos="{tx} {ty} {tz}">
           {_inertial(thigh)}
-          <joint name="{leg}_thigh_joint" type="hinge" axis="0 1 0" damping="0.0"/>
+          <joint name="{leg}_thigh_joint" type="hinge" axis="0 1 0" damping="{joint_damping}" armature="{armature}"/>
           <body name="{leg}_calf" pos="{cx} {cy} {cz}">
             {_inertial(calf)}
-            <joint name="{leg}_calf_joint" type="hinge" axis="0 1 0" damping="0.0"/>
+            <joint name="{leg}_calf_joint" type="hinge" axis="0 1 0" damping="{joint_damping}" armature="{armature}"/>
             <geom name="{leg}_calf_geom" type="capsule" fromto="0 0 0 {fx} {fy} {fz}"
                   size="0.012" mass="0" contype="0" conaffinity="0" rgba="0.3 0.3 0.3 1"/>
             <geom name="{leg}_foot" type="sphere" pos="{fx} {fy} {fz}"

@@ -31,10 +31,19 @@ def _mj():
 class MujocoGo2:
     """Host MuJoCo instance of the generated Go2 model."""
 
-    def __init__(self, params: Go2Params = DEFAULT_PARAMS, ground: bool = True, mu: float = 0.8):
+    def __init__(
+        self,
+        params: Go2Params = DEFAULT_PARAMS,
+        ground: bool = True,
+        mu: float = 0.8,
+        armature: float = 0.0,
+        joint_damping: float = 0.0,
+    ):
         mj = _mj()
         self.mj = mj
-        self.model = mj.MjModel.from_xml_string(go2_mjcf(params, ground=ground, mu=mu))
+        self.model = mj.MjModel.from_xml_string(
+            go2_mjcf(params, ground=ground, mu=mu, armature=armature, joint_damping=joint_damping)
+        )
         self.data = mj.MjData(self.model)
         self.base_bid = mj.mj_name2id(self.model, mj.mjtObj.mjOBJ_BODY, "base_link")
 
