@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--seconds", type=float, default=3.0)
     ap.add_argument("--vx", type=float, default=0.4)
     ap.add_argument("--wz", type=float, default=0.0)
+    ap.add_argument("--vy", type=float, default=0.0)
     ap.add_argument("--solver-iters", type=int, default=400)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -87,7 +88,7 @@ def main():
     @jax.jit
     def solve_mpc(obs, refgen, solver, t, cmd_vx, cmd_wz):
         cmd = R.BodyCommand(
-            vx=jnp.asarray(cmd_vx), vy=jnp.asarray(0.0),
+            vx=jnp.asarray(cmd_vx), vy=jnp.asarray(args.vy),
             z_pos=jnp.asarray(0.27), yaw_rate=jnp.asarray(cmd_wz),
         )
         traj, refgen = R.generate(refgen, gait, obs, cmd, t, mpc_dt, n)
@@ -147,6 +148,7 @@ def main():
     print(f"[mujoco-loop] {args.seconds:.1f}s sim in {wall:.0f}s wall")
     print(
         f"[mujoco-loop] vx={tail[:, 6].mean():+.3f} (cmd {args.vx})  "
+        f"vy={tail[:, 7].mean():+.3f} (cmd {args.vy})  "
         f"wz={tail[:, 11].mean():+.3f} (cmd {args.wz})  z={tail[:, 2].mean():.3f}  "
         f"|roll|max={np.abs(tail[:, 3]).max():.3f}  |pitch|max={np.abs(tail[:, 4]).max():.3f}"
     )
