@@ -99,3 +99,41 @@ def test_solve_stats(dyn):
     s = stats.summary()
     assert s["cycles"] == 6
     assert 0 < s["iters_mean"] <= 300
+
+
+def test_plot_dashboards_render(dyn, tmp_path):
+    from convex_mpc_tpu.utils import plots as PL
+    from convex_mpc_tpu.utils.config import DEFAULT_CONFIG, contact_from_config, gait_from_config
+
+    cfg = DEFAULT_CONFIG
+    gait, contact = gait_from_config(cfg), contact_from_config(cfg)
+    state = E.init_state(dyn, n=16)
+    state = state._replace(plant=P.init_plant(dyn, contact=contact))
+    state, logs = E.simulate(
+        dyn, gait, contact, E.constant_schedule(vx=0.3), state, n_cycles=6, solver_iters=200
+    )
+    for fn, name in [
+        (PL.plot_contact_forces, "forces.png"),
+        (PL.plot_mpc_result, "grid.png"),
+        (PL.plot_swing_foot_traj, "swing.png"),
+    ]:
+        out = fn(logs, path=tmp_path / name)
+        assert (tmp_path / name).exists() and (tmp_path / name).stat().st_size > 1000
+    PL.plot_solver_stats(logs, path=tmp_path / "solver.png")
+    assert (tmp_path / "solver.png").exists()
+    x = np.asarray(logs.ticks.x_vec).reshape(-1, 12)
+    PL.plot_traj_tracking(x, path=tmp_path / "traj.png")
+    assert (tmp_path / "traj.png").exists()
+
+
+def test_command_schedule_lookup_edges():
+    sched = E.reference_schedule()
+    # inside a phase
+    cmd = E.lookup_command(sched, 0.5)
+    assert abs(float(cmd.vx) - 0.7) < 1e-6
+    # past the end: defaults (reference test_MPC.py:92)
+    cmd = E.lookup_command(sched, 99.0)
+    assert float(cmd.vx) == 0.0 and abs(float(cmd.z_pos) - 0.27) < 1e-6
+    # boundary t_end is exclusive
+    cmd = E.lookup_command(sched, 1.0)
+    assert float(cmd.vx) == 0.0
