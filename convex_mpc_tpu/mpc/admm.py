@@ -151,6 +151,7 @@ def ruiz_equilibrate(qp: QpData, iters: int = 10) -> ScaledQp:
     static_argnames=(
         "max_iter", "check_every", "segments", "scaling_iters", "adaptive_rho",
         "scaled_termination", "use_pallas", "pallas_precision", "box_tail",
+        "setup_precision",
     ),
 )
 def solve(
@@ -172,6 +173,7 @@ def solve(
     use_pallas: bool = False,
     pallas_precision=lax.Precision.HIGHEST,
     box_tail: int = 0,
+    setup_precision=lax.Precision.HIGHEST,
 ) -> AdmmSolution:
     """Solve one QP from a warm-start state.
 
@@ -224,19 +226,25 @@ def solve(
             P_mat = jnp.diag(s.p_diag + sigma)
         else:
             P_mat = s.p_dense + sigma * jnp.eye(nz, dtype=dtype)
+        # Setup precision note: after Ruiz + cost normalization the tiny
+        # R-scale diagonal of P (the only curvature in the flat force
+        # directions) sits ~1e-4..1e-6 below the rho A'A terms; bf16
+        # formation of M rounds it away entirely and shifts the optimum by
+        # tens of percent (measured). Keep setup at HIGHEST; the dominant
+        # setup cost is the batched Cholesky/triangular-solve anyway.
         if box_tail:
             AR = A_fr * rho_vec[: s.l.shape[-1] - box_tail, None]
             M = (
                 P_mat
-                + jnp.matmul(A_fr.T, AR, precision=_PRECISION)
+                + jnp.matmul(A_fr.T, AR, precision=setup_precision)
                 + jnp.diag(rho_vec[-box_tail:] * box_diag * box_diag)
             )
         else:
             AR = s.A * rho_vec[:, None]
-            M = P_mat + jnp.matmul(s.A.T, AR, precision=_PRECISION)
+            M = P_mat + jnp.matmul(s.A.T, AR, precision=setup_precision)
         L = jnp.linalg.cholesky(M)
         Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-        Minv = jnp.matmul(Linv.T, Linv, precision=_PRECISION)
+        Minv = jnp.matmul(Linv.T, Linv, precision=setup_precision)
 
         if use_pallas:
             # VMEM-resident iteration kernel (mpc.kernels): no per-iteration
