@@ -24,10 +24,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=3.0)
+    ap.add_argument("--schedule", default="const", choices=["const", "ref"])
     ap.add_argument("--vx", type=float, default=0.4)
     ap.add_argument("--wz", type=float, default=0.0)
     ap.add_argument("--vy", type=float, default=0.0)
-    ap.add_argument("--solver-iters", type=int, default=400)
+    ap.add_argument("--solver-iters", type=int, default=600)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -86,9 +87,9 @@ def main():
         return obs, yc, yp, vf
 
     @jax.jit
-    def solve_mpc(obs, refgen, solver, t, cmd_vx, cmd_wz):
+    def solve_mpc(obs, refgen, solver, t, cmd_vx, cmd_vy, cmd_wz):
         cmd = R.BodyCommand(
-            vx=jnp.asarray(cmd_vx), vy=jnp.asarray(args.vy),
+            vx=jnp.asarray(cmd_vx), vy=jnp.asarray(cmd_vy),
             z_pos=jnp.asarray(0.27), yaw_rate=jnp.asarray(cmd_wz),
         )
         traj, refgen = R.generate(refgen, gait, obs, cmd, t, mpc_dt, n)
@@ -122,6 +123,7 @@ def main():
     vf = jnp.zeros(6)
     u0 = jnp.zeros((4, 3))
     traj = None
+    cur_wz = 0.0
 
     ticks = int(args.seconds * 1000)
     xlog = np.zeros((ticks, 12))
@@ -134,16 +136,31 @@ def main():
         obs, yc, yp, vf = observe(q, dq, yc, yp, vf)
         xlog[i] = np.asarray(obs.x_vec)
         if i % 20 == 0:
+            if args.schedule == "ref":
+                cmd_np = E.lookup_command(E.reference_schedule(), t)
+                cvx, cvy, cwz = float(cmd_np.vx), float(cmd_np.vy), float(cmd_np.yaw_rate)
+            else:
+                cvx, cvy, cwz = args.vx, args.vy, args.wz
             u0, solver, state_ref, traj = solve_mpc(
-                obs, state_ref, solver, t, args.vx, args.wz
+                obs, state_ref, solver, t, cvx, cvy, cwz
             )
+            cur_wz = cwz
         tau, leg_state = leg_tick(
             leg_state, q, dq, yc, u0, traj.pos_des_world, traj.vel_des_world,
-            jnp.asarray(args.wz), t,
+            jnp.asarray(cur_wz), t,
         )
         bridge.step(np.asarray(tau, float))
     wall = time.perf_counter() - t0_wall
 
+    if args.schedule == "ref":
+        print(f"{'phase':16s} {'vx':>7s} {'vy':>7s} {'wz':>7s} {'z':>6s} {'|att|max':>8s}")
+        for a, b, name in [(0, 1, "fwd 0.7"), (1.5, 3, "lat 0.3"), (4, 6, "yaw 2.0"),
+                           (6.5, 8, "fwd0.6+yaw2"), (8, 9, "fwd 0.8"), (9, 10, "stop")]:
+            seg = xlog[int(a * 1000):int(b * 1000)]
+            if len(seg):
+                print(f"{name:16s} {seg[:, 6].mean():+7.3f} {seg[:, 7].mean():+7.3f} "
+                      f"{seg[:, 11].mean():+7.3f} {seg[:, 2].mean():6.3f} "
+                      f"{np.abs(seg[:, 3:5]).max():8.3f}")
     tail = xlog[len(xlog) // 3 :]
     print(f"[mujoco-loop] {args.seconds:.1f}s sim in {wall:.0f}s wall")
     print(
