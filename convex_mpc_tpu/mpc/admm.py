@@ -219,29 +219,34 @@ def solve(
         def mv_AT(w):
             return _mv(s.A.T, w)
 
+    # rho enters A' R A as a scalar times a FIXED matrix (R = rho * diag(w),
+    # w = eq_scale pattern): hoist K = A' diag(w) A out of the segment loop —
+    # one large matmul per solve instead of one per refactorization.
+    # Setup precision note: after Ruiz + cost normalization the tiny R-scale
+    # diagonal of P (the only curvature in the flat force directions) sits
+    # ~1e-4..1e-6 below the rho A'A terms; bf16 formation rounds it away and
+    # shifts the optimum by tens of percent (measured). Keep HIGHEST.
+    w_vec = jnp.where(is_eq, eq_scale, 1.0).astype(dtype)
+    if s.p_dense is None:
+        P_mat = jnp.diag(s.p_diag + sigma)
+    else:
+        P_mat = s.p_dense + sigma * jnp.eye(nz, dtype=dtype)
+    if box_tail:
+        m_fr_ = s.l.shape[-1] - box_tail
+        K = jnp.matmul(
+            A_fr.T, A_fr * w_vec[:m_fr_, None], precision=setup_precision
+        )
+        K_box_diag = w_vec[-box_tail:] * box_diag * box_diag  # (nz,)
+    else:
+        K = jnp.matmul(s.A.T, s.A * w_vec[:, None], precision=setup_precision)
+        K_box_diag = None
+
     def run_segment(seg, carry):
         x, z, y, rho, conv_iter = carry
-        rho_vec = jnp.where(is_eq, rho * eq_scale, rho)
-        if s.p_dense is None:
-            P_mat = jnp.diag(s.p_diag + sigma)
-        else:
-            P_mat = s.p_dense + sigma * jnp.eye(nz, dtype=dtype)
-        # Setup precision note: after Ruiz + cost normalization the tiny
-        # R-scale diagonal of P (the only curvature in the flat force
-        # directions) sits ~1e-4..1e-6 below the rho A'A terms; bf16
-        # formation of M rounds it away entirely and shifts the optimum by
-        # tens of percent (measured). Keep setup at HIGHEST; the dominant
-        # setup cost is the batched Cholesky/triangular-solve anyway.
-        if box_tail:
-            AR = A_fr * rho_vec[: s.l.shape[-1] - box_tail, None]
-            M = (
-                P_mat
-                + jnp.matmul(A_fr.T, AR, precision=setup_precision)
-                + jnp.diag(rho_vec[-box_tail:] * box_diag * box_diag)
-            )
-        else:
-            AR = s.A * rho_vec[:, None]
-            M = P_mat + jnp.matmul(s.A.T, AR, precision=setup_precision)
+        rho_vec = rho * w_vec
+        M = P_mat + rho * K
+        if K_box_diag is not None:
+            M = M + jnp.diag(rho * K_box_diag)
         L = jnp.linalg.cholesky(M)
         Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
         Minv = jnp.matmul(Linv.T, Linv, precision=setup_precision)
