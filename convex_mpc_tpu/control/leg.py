@@ -144,12 +144,15 @@ def compute_torques(
     )(swing_p0, swing_td, t_since)
 
     # operational-space feedforward: Lambda (a_des - Jdot dq)
-    chol = jnp.linalg.cholesky(obs.M)
-    Minv_Jt = jax.vmap(
-        lambda Jl: jax.scipy.linalg.cho_solve((chol, True), Jl.T)
-    )(obs.J_feet)  # (4, 18, 3)
-    JMJt = ein("lij,ljk->lik", obs.J_feet, Minv_Jt)
-    lam = jnp.linalg.inv(JMJt)  # (4, 3, 3)
+    # (cholesky/cho_solve/inv internals run at the ambient matmul precision:
+    # pin f32 — bf16 on TPU otherwise)
+    with jax.default_matmul_precision("highest"):
+        chol = jnp.linalg.cholesky(obs.M)
+        Minv_Jt = jax.vmap(
+            lambda Jl: jax.scipy.linalg.cho_solve((chol, True), Jl.T)
+        )(obs.J_feet)  # (4, 18, 3)
+        JMJt = ein("lij,ljk->lik", obs.J_feet, Minv_Jt)
+        lam = jnp.linalg.inv(JMJt)  # (4, 3, 3)
     f_ff = ein("lij,lj->li", lam, a_des - obs.jdot_qd)
 
     force_sw = kp * (p_des - obs.foot_pos) + kd * (v_des - obs.foot_vel) + f_ff

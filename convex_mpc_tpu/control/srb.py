@@ -95,6 +95,8 @@ def discretize(
     Because Ac^2 = 0:  e^{Ac t} = I + Ac t, and
     int_0^dt e^{Ac s} ds = I dt + Ac dt^2/2  exactly.
     """
+    import jax
+
     Ac = continuous_A(yaw_avg)
     E = jnp.eye(NX) * dt + Ac * (dt * dt / 2.0)  # ∫ e^{Ac s} ds
 
@@ -102,7 +104,8 @@ def discretize(
 
     # Bc batched over the horizon. Build blocks directly to keep it fused:
     n = r_feet_world.shape[0]
-    I_inv = jnp.linalg.inv(inertia_world)
+    with jax.default_matmul_precision("highest"):
+        I_inv = jnp.linalg.inv(inertia_world)
     ang = jnp.einsum("ij,nfjk->nfik", I_inv, hat(r_feet_world), precision=_PRECISION)  # (N, 4, 3, 3)
     ang = ang.transpose(0, 2, 1, 3).reshape(n, 3, NU)  # (N, 3, 12)
     lin = jnp.broadcast_to(jnp.tile(jnp.eye(3) / mass, (1, 4)), (n, 3, NU))

@@ -187,6 +187,27 @@ def solve(
     analytically — the KKT assembly and the per-iteration matvecs then only
     touch the dense upper rows (~40% fewer FLOPs for the condensed QP).
     """
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl(
+            qp, state, sigma, alpha, eq_scale, eps_abs, eps_rel, eps_eq_abs,
+            eps_dual_abs, max_iter, check_every, segments, scaling_iters,
+            adaptive_rho, scaled_termination, use_pallas, pallas_precision,
+            box_tail, setup_precision,
+        )
+
+
+def _solve_impl(
+    qp, state, sigma, alpha, eq_scale, eps_abs, eps_rel, eps_eq_abs,
+    eps_dual_abs, max_iter, check_every, segments, scaling_iters,
+    adaptive_rho, scaled_termination, use_pallas, pallas_precision,
+    box_tail, setup_precision,
+) -> AdmmSolution:
+    # NOTE: jnp.linalg.cholesky / solve_triangular lower to *internal*
+    # matmuls at the ambient default precision — bf16 on TPU unless this
+    # scope pins it. A bf16-factored KKT inverse silently degrades solver
+    # accuracy on TPU only (CPU defaults are exact), which shifted marginal
+    # closed-loop maneuvers. The explicit-precision matmuls elsewhere are
+    # unaffected by the ambient default.
     dtype = qp.q.dtype
     nz = qp.q.shape[-1]
     s = ruiz_equilibrate(qp, scaling_iters)

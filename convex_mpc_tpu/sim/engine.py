@@ -70,6 +70,50 @@ def constant_schedule(vx=0.0, vy=0.0, z=0.27, wz=0.0, t_end=1e9) -> CommandSched
     )
 
 
+def ramp_schedule(
+    sched: CommandSchedule,
+    max_acc: float = 1.5,  # m/s^2 for vx/vy
+    max_alpha: float = 6.0,  # rad/s^2 for yaw rate
+    step: float = 0.1,  # s, piecewise-constant resolution of the ramps
+) -> CommandSchedule:
+    """Slew-rate-limit a step schedule into short piecewise-constant ramps.
+
+    The reference applies raw command steps (test_MPC.py:82-92); hard steps
+    like its t=8 transition (2 rad/s turn -> 0.8 m/s) sit on a stability
+    margin that flips with backend numerics. Ramping the *schedule* (host
+    side, before the run) widens the margin without touching the engine or
+    the reference's lookup semantics. Returns a denser CommandSchedule.
+    """
+    import numpy as np
+
+    t_end = float(np.asarray(sched.t_end).max())
+    ts = np.arange(0.0, t_end + step, step)
+
+    def raw(t):
+        inp = (np.asarray(sched.t_start) <= t) & (t < np.asarray(sched.t_end))
+        if inp.any():
+            i = int(np.argmax(inp))
+            return np.array(
+                [sched.vx[i], sched.vy[i], sched.z_pos[i], sched.yaw_rate[i]], float
+            )
+        return np.array([0.0, 0.0, 0.27, 0.0])
+
+    cur = raw(0.0)
+    rows = []
+    for t in ts:
+        tgt = raw(t)
+        dv = np.clip(tgt[:2] - cur[:2], -max_acc * step, max_acc * step)
+        dw = np.clip(tgt[3] - cur[3], -max_alpha * step, max_alpha * step)
+        cur = np.array([cur[0] + dv[0], cur[1] + dv[1], tgt[2], cur[3] + dw])
+        rows.append((t, t + step, *cur))
+    cols = list(zip(*rows))
+    return CommandSchedule(
+        t_start=jnp.asarray(cols[0]), t_end=jnp.asarray(cols[1]),
+        vx=jnp.asarray(cols[2]), vy=jnp.asarray(cols[3]),
+        z_pos=jnp.asarray(cols[4]), yaw_rate=jnp.asarray(cols[5]),
+    )
+
+
 def lookup_command(sched: CommandSchedule, t) -> R.BodyCommand:
     """Piecewise lookup; default (0, 0, 0.27, 0) outside all phases
     (reference test_MPC.py:82-92)."""

@@ -194,7 +194,10 @@ def step(
     # joint viscous damping, implicit (added to the velocity-solve diagonal)
     jd = jnp.concatenate([jnp.zeros((6,), q.dtype), jnp.full((12,), contact.joint_damping, q.dtype)])
     A = M + dt * ein("lij,li,lik->jk", J, C, J) + dt * jnp.diag(jd)
-    dq_new = jax.scipy.linalg.cho_solve((jnp.linalg.cholesky(A), True), rhs)
+    # cholesky/cho_solve lower to internal matmuls at the ambient default
+    # precision (bf16 on TPU) — pin f32 for the velocity solve
+    with jax.default_matmul_precision("highest"):
+        dq_new = jax.scipy.linalg.cho_solve((jnp.linalg.cholesky(A), True), rhs)
 
     # integrate q with the *new* velocity (semi-implicit)
     pos_new = q[0:3] + dt * ein("ij,j->i", base_R, dq_new[0:3])

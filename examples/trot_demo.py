@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--save-traj", default=None, help="save q/tau/x logs to this .npz")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--solver-iters", type=int, default=400)
+    ap.add_argument("--ramp", action="store_true",
+                    help="slew-rate-limit the command schedule (widens margins)")
     args = ap.parse_args()
 
     import jax
@@ -54,6 +56,9 @@ def main():
         sched = E.reference_schedule()
     else:
         sched = E.constant_schedule(vx=args.vx, vy=args.vy, wz=args.wz)
+    if args.ramp:
+        sched = E.ramp_schedule(sched if args.schedule == "ref" else E.constant_schedule(
+            vx=args.vx, vy=args.vy, wz=args.wz, t_end=args.seconds))
 
     n_cycles = int(args.seconds * 48)
     state = E.init_state(dyn, n=16)
