@@ -137,3 +137,17 @@ def test_command_schedule_lookup_edges():
     # boundary t_end is exclusive
     cmd = E.lookup_command(sched, 1.0)
     assert float(cmd.vx) == 0.0
+
+
+def test_ramp_schedule_limits_slew():
+    sched = E.reference_schedule()
+    ramped = E.ramp_schedule(sched, max_acc=1.5, max_alpha=6.0, step=0.1)
+    vx = np.asarray(ramped.vx)
+    wz = np.asarray(ramped.yaw_rate)
+    # per-0.1s step changes bounded by the slew limits
+    assert np.abs(np.diff(vx)).max() <= 1.5 * 0.1 + 1e-6
+    assert np.abs(np.diff(wz)).max() <= 6.0 * 0.1 + 1e-6
+    # reaches the commanded plateaus
+    t = np.asarray(ramped.t_start)
+    assert vx[(t > 0.7) & (t < 0.95)].max() > 0.69
+    assert wz[(t > 4.5) & (t < 5.9)].max() > 1.99
