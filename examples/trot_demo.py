@@ -85,12 +85,17 @@ def main():
         if args.schedule == "ref"
         else [(0.5, args.seconds, f"vx={args.vx} vy={args.vy} wz={args.wz}")]
     )
-    print(f"{'phase':18s} {'vx':>7s} {'vy':>7s} {'wz':>7s} {'z':>6s} {'|att|max':>8s}")
+    # velocities reported in the BODY frame (world components are misleading
+    # while the robot turns)
+    print(f"{'phase':18s} {'vx_b':>7s} {'vy_b':>7s} {'wz':>7s} {'z':>6s} {'|att|max':>8s}")
     for a, b, name in phases:
         seg = x[int(a * 1000):int(b * 1000)]
         if len(seg) == 0:
             continue
-        print(f"{name:18s} {seg[:, 6].mean():+7.3f} {seg[:, 7].mean():+7.3f} "
+        cy, sy = np.cos(seg[:, 5]), np.sin(seg[:, 5])
+        vxb = seg[:, 6] * cy + seg[:, 7] * sy
+        vyb = -seg[:, 6] * sy + seg[:, 7] * cy
+        print(f"{name:18s} {vxb.mean():+7.3f} {vyb.mean():+7.3f} "
               f"{seg[:, 11].mean():+7.3f} {seg[:, 2].mean():6.3f} "
               f"{np.abs(seg[:, 3:5]).max():8.3f}")
     it = np.asarray(logs.solver_iters)
