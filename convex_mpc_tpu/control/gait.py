@@ -128,6 +128,7 @@ def touchdown_raibert(
     vel_des_world_xy: jnp.ndarray,  # (2,) desired world velocity (x, y)
     pos_des_world_xy: jnp.ndarray,  # (2,) desired world position (x, y)
     hip_offset: jnp.ndarray,  # (3,) body-frame hip offset of this leg
+    clamp_correction: float | None = None,
 ) -> jnp.ndarray:
     """Full Raibert touchdown with position/velocity feedback -> (3,).
 
@@ -135,6 +136,13 @@ def touchdown_raibert(
     placement part): nominal hip projection + desired-velocity drift +
     kp*(p_com - p_des) + kv*(v_com - v_des) + yaw rotation correction. Gains
     kv_x = 0.4*T, kp_x = 0.1, kv_y = 0.2*T, kp_y = 0.05 (reference gait.py:105-111).
+
+    ``clamp_correction``: optional cap (meters) on the combined feedback
+    correction magnitude. During violent transients the raw feedback can
+    demand footholds beyond leg reach (e.g. 0.28 m at 1.5 m/s velocity
+    error), which mistime landings and tighten the failure spiral; the
+    reference never enters such regimes in its own sim so it never clamps.
+    None reproduces the reference formula exactly.
     """
     t_swing = gait.swing_time
     t_stance = gait.stance_time
@@ -168,7 +176,12 @@ def touchdown_raibert(
         ]
     )
     rot_corr = _rotation_correction(hip_rel[:2], yaw_rate_des, pred_time)
-    return nominal + drift + pos_corr + vel_corr + rot_corr
+    correction = pos_corr + vel_corr
+    if clamp_correction is not None:
+        mag = jnp.linalg.norm(correction[0:2])
+        scale = jnp.minimum(1.0, clamp_correction / jnp.maximum(mag, 1e-9))
+        correction = correction * scale
+    return nominal + drift + correction + rot_corr
 
 
 def swing_eval(p0: jnp.ndarray, pf: jnp.ndarray, t, t_swing, swing_height):

@@ -110,6 +110,7 @@ def compute_torques(
     ground_z: float = 0.0,
     foot_radius: float = 0.022,
     early_contact_fz: float = 15.0,
+    raibert_clamp: float | None = None,
 ) -> tuple[LegOutput, LegControlState]:
     """One 1 kHz controller tick for all four legs (one scenario)."""
     mask = G.current_mask(gait, t)  # (4,)
@@ -130,6 +131,7 @@ def compute_torques(
             vel_des_world[0:2],
             pos_des_world[0:2],
             hip,
+            clamp_correction=raibert_clamp,
         )
     )(hip_offsets)  # (4, 3)
 

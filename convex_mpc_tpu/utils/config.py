@@ -174,3 +174,15 @@ def gait_from_config(cfg: "EngineConfig"):
 
 
 DEFAULT_CONFIG = EngineConfig()
+
+# Tuned profile: reference weights except Q_vy 2 -> 8. With the reference's
+# exact weights, lateral tracking overshoots ~+40-50% (on this plant AND on
+# MuJoCo — controller-inherent) and the 10 s schedule's t=8 transition
+# (2 rad/s turn -> 0.8 m/s) sits on a chaos-sensitive margin. Q_vy = 8
+# restores lateral tracking to ~+5%, removes the combo-phase sideslip, and
+# makes the full schedule complete with wide margins on every backend
+# (solver convergence 97% of cycles). DEFAULT_CONFIG keeps the reference
+# weights for spec parity.
+TUNED_CONFIG = EngineConfig(
+    mpc=MpcConfig(q_diag=(1, 1, 50, 10, 20, 1, 2, 8, 1, 1, 1, 1))
+)

@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--solver-iters", type=int, default=400)
     ap.add_argument("--ramp", action="store_true",
                     help="slew-rate-limit the command schedule (widens margins)")
+    ap.add_argument("--tuned", action="store_true",
+                    help="tuned cost profile (Q_vy=8; tighter lateral tracking)")
     args = ap.parse_args()
 
     import jax
@@ -67,9 +69,11 @@ def main():
     print(f"[demo] backend={jax.default_backend()}  simulating {args.seconds:.1f}s "
           f"({n_cycles} MPC cycles) ...")
     t0 = time.perf_counter()
+    q_diag = (1, 1, 50, 10, 20, 1, 2, 8, 1, 1, 1, 1) if args.tuned else (
+        1, 1, 50, 10, 20, 1, 2, 2, 1, 1, 1, 1)
     state, logs = E.simulate(
         dyn, gait, contact, sched, state, n_cycles=n_cycles,
-        solver_iters=args.solver_iters,
+        solver_iters=args.solver_iters, q_diag=q_diag,
     )
     jax.block_until_ready(state)
     wall = time.perf_counter() - t0
