@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--vy", type=float, default=0.0)
     ap.add_argument("--solver-iters", type=int, default=600)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tuned", action="store_true", help="Q_vy=8 profile")
     args = ap.parse_args()
 
     import jax
@@ -49,7 +50,9 @@ def main():
     from convex_mpc_tpu.sim import engine as E
     from convex_mpc_tpu.sim.mujoco_bridge import MujocoGo2
 
-    Q_DIAG = jnp.asarray([1, 1, 50, 10, 20, 1, 2, 2, 1, 1, 1, 1], jnp.float32)
+    Q_DIAG = jnp.asarray(
+        [1, 1, 50, 10, 20, 1, 2, 8 if args.tuned else 2, 1, 1, 1, 1], jnp.float32
+    )
     dyn = D.build_dyn()
     gait = G.make_gait_params(3.0, 0.6)
     sched = E.constant_schedule(vx=args.vx, wz=args.wz)
