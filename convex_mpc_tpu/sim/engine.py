@@ -290,6 +290,35 @@ def mpc_cycle(
         _, u_opt = qp.split_solution(sol.x, n)
         u0 = u_opt[0].reshape(4, 3)
 
+    (plant, leg_state, yaw_cont, yaw_prev, vel_filt, t), ticks = _run_ticks(
+        dyn, gait, contact, cmd, traj, u0,
+        state.plant, state.leg, yaw_cont, yaw_prev, state.vel_filt, state.t,
+        steps_per_mpc, tau_max, sim_dt, vel_filter_hz,
+    )
+
+    new_state = EngineState(
+        plant=plant,
+        leg=leg_state,
+        refgen=refgen,
+        solver=sol.state,
+        yaw_cont=yaw_cont,
+        yaw_prev=yaw_prev,
+        u0=u0,
+        t=t,
+        vel_filt=vel_filt,
+    )
+    log = CycleLog(
+        ticks=ticks, solver_iters=sol.iters, prim_res=sol.prim_res, dual_res=sol.dual_res
+    )
+    return new_state, log
+
+
+def _run_ticks(
+    dyn, gait, contact, cmd, traj, u0,
+    plant0, leg0, yaw_cont, yaw_prev, vel_filt0, t0,
+    steps_per_mpc: int, tau_max: float, sim_dt: float, vel_filter_hz: float,
+):
+    """The 1 kHz inner loop of one MPC period (reference test_MPC.py:160-236)."""
     alpha = 1.0 - jnp.exp(-2.0 * jnp.pi * vel_filter_hz * sim_dt)
 
     def tick(carry, i):
@@ -308,7 +337,21 @@ def mpc_cycle(
             leg_state, gait, leg_obs, u0,
             traj.pos_des_world, traj.vel_des_world, cmd.yaw_rate, t,
         )
-        tau = jnp.clip(out.tau, -tau_max, tau_max)
+        # reference-level clip (test_MPC.py:71, +-45) AND the per-joint
+        # actuator ctrlrange MuJoCo enforces on the cross-validation plant
+        # (hip/thigh 23.7, calf 45.43, go2_params.py:103-105) — both plants
+        # must saturate identically or TPU-plant margins overstate.
+        from convex_mpc_tpu.models.go2_params import DEFAULT_PARAMS as _gp
+
+        joint_lim = jnp.tile(
+            jnp.array(
+                [_gp.hip_torque_max, _gp.thigh_torque_max, _gp.calf_torque_max],
+                out.tau.dtype,
+            ),
+            4,
+        ).reshape(out.tau.shape)
+        lim = jnp.minimum(joint_lim, tau_max)
+        tau = jnp.clip(out.tau, -lim, lim)
         x_vec = jnp.concatenate(
             [leg_obs.pos_com_world, jnp.stack([rpy[0], rpy[1], yc]), raw6]
         )
@@ -330,20 +373,100 @@ def mpc_cycle(
         )
         return (plant, leg_state, yc, yp, vfilt, t + sim_dt), log
 
-    (plant, leg_state, yaw_cont, yaw_prev, vel_filt, t), ticks = jax.lax.scan(
+    return jax.lax.scan(
         tick,
-        (state.plant, state.leg, yaw_cont, yaw_prev, state.vel_filt, state.t),
+        (plant0, leg0, yaw_cont, yaw_prev, vel_filt0, t0),
         jnp.arange(steps_per_mpc),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n", "steps_per_mpc", "solver_iters", "tau_max", "mpc_dt", "sim_dt",
+        "check_every",
+    ),
+)
+def mpc_cycle_batch(
+    dyn: D.Go2Dyn,
+    gait: G.GaitParams,
+    contact: P.ContactParams,
+    sched: CommandSchedule,
+    state: EngineState,
+    n: int = 16,
+    steps_per_mpc: int = 20,
+    solver_iters: int = 600,
+    tau_max: float = 45.0,
+    mpc_dt: float = (1.0 / 3.0) / 16,
+    sim_dt: float = 1e-3,
+    q_diag=(1, 1, 50, 10, 20, 1, 2, 2, 1, 1, 1, 1),
+    r_value: float = 1e-5,
+    mu_mpc: float = 0.8,
+    fz_min: float = 10.0,
+    vel_filter_hz: float = 30.0,
+    check_every: int = 25,
+) -> tuple[EngineState, CycleLog]:
+    """One MPC period for a scenario BATCH with the batch-global adaptive solver.
+
+    Unlike ``vmap(mpc_cycle)``, the QP solve here is ONE program over the
+    whole batch (``admm.solve_adaptive``): per-scenario convergence and rho
+    live inside the loop, iterations stop when every scenario meets the OSQP
+    criterion, and KKT refactorizations happen only when some scenario's rho
+    actually moved (scalar ``lax.cond``). Steady trot cycles converge in a
+    few chunks with one factorization; transition cycles escalate to
+    ``solver_iters``. ``gait``/``contact``/``sched``/``state`` leaves all
+    carry a leading batch axis. rho warm-carries across cycles (the
+    refactor-on-demand logic absorbs Ruiz-scaling drift).
+    """
+    qd = jnp.asarray(q_diag, jnp.float32)
+
+    def pre(gait_i, sched_i, state_i):
+        cmd = lookup_command(sched_i, state_i.t)
+        obs, yaw_cont, yaw_prev = observe(
+            dyn, state_i.plant, state_i.yaw_cont, state_i.yaw_prev, state_i.vel_filt
+        )
+        traj, refgen = R.generate(state_i.refgen, gait_i, obs, cmd, state_i.t, mpc_dt, n)
+        p0 = traj.x0[0:3]
+        data, _ = condensed.build_condensed(
+            traj.dyn, traj.x0.at[0:3].set(0.0), traj.x_ref.at[:, 0:3].add(-p0),
+            traj.contact, qd, r_value, mu_mpc, fz_min,
+        )
+        return data, traj, refgen, cmd, yaw_cont, yaw_prev
+
+    data_b, traj_b, refgen_b, cmd_b, yc_b, yp_b = jax.vmap(pre)(gait, sched, state)
+
+    # carry (x, y) warm starts; clamp carried rho into [1e-4, 0.1] — the
+    # descent-with-revert policy inside solve_adaptive only moves rho DOWN,
+    # so a carried value below the dr(rho) optimum (~1e-4 scaled) would be a
+    # trap where the stall-exit could fire early on hard transition cycles.
+    warm = state.solver._replace(
+        rho=jnp.clip(state.solver.rho, 1e-4, 0.1)
+    )
+    sol = admm.solve_adaptive(
+        data_b, warm, max_iter=solver_iters, check_every=check_every,
+        box_tail=n * 12,
+    )
+    u0_b = sol.x[:, 0:12].reshape(-1, 4, 3)
+
+    def post(gait_i, contact_i, cmd_i, traj_i, u0_i, state_i, yc, yp):
+        return _run_ticks(
+            dyn, gait_i, contact_i, cmd_i, traj_i, u0_i,
+            state_i.plant, state_i.leg, yc, yp, state_i.vel_filt, state_i.t,
+            steps_per_mpc, tau_max, sim_dt, vel_filter_hz,
+        )
+
+    (plant, leg_state, yaw_cont, yaw_prev, vel_filt, t), ticks = jax.vmap(post)(
+        gait, contact, cmd_b, traj_b, u0_b, state, yc_b, yp_b
     )
 
     new_state = EngineState(
         plant=plant,
         leg=leg_state,
-        refgen=refgen,
+        refgen=refgen_b,
         solver=sol.state,
         yaw_cont=yaw_cont,
         yaw_prev=yaw_prev,
-        u0=u0,
+        u0=u0_b,
         t=t,
         vel_filt=vel_filt,
     )
@@ -351,6 +474,13 @@ def mpc_cycle(
         ticks=ticks, solver_iters=sol.iters, prim_res=sol.prim_res, dual_res=sol.dual_res
     )
     return new_state, log
+
+
+def broadcast_batch(tree, batch: int):
+    """Tile an unbatched pytree (EngineState, GaitParams, ...) to a batch."""
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x), (batch,) + jnp.shape(x)).copy(), tree
+    )
 
 
 def simulate(

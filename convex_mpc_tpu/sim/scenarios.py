@@ -183,10 +183,16 @@ def simulate_batch(
     q = states.plant.q
     cmd_now = jax.vmap(lambda s, st: E.lookup_command(s, st.t))(batch.sched, states)
     vf = states.vel_filt
+    # commands are body-frame: rotate the world-frame filtered velocity into
+    # the body frame with the accumulated yaw (turning scenarios reach
+    # arbitrary headings, so the small-yaw world~body shortcut is wrong)
+    yaw = states.yaw_cont
+    c, s_ = jnp.cos(yaw), jnp.sin(yaw)
+    vx_b = c * vf[:, 0] + s_ * vf[:, 1]
     metrics = {
         "height": q[:, 2],
         "upright": (q[:, 2] > 0.12) & (jnp.abs(states.plant.dq).max(axis=1) < 30.0),
-        "vx_err": jnp.abs(vf[:, 0] - cmd_now.vx),  # world~body at small yaw
+        "vx_err": jnp.abs(vx_b - cmd_now.vx),
         "wz_err": jnp.abs(vf[:, 5] - cmd_now.yaw_rate),
     }
     return new_batch, metrics, logs

@@ -17,6 +17,13 @@ import jax
 import numpy as np
 
 
+def _npz_path(path) -> Path:
+    # np.savez appends ".npz" when absent; normalize so save/load agree on
+    # the on-disk name regardless of the suffix the caller passed.
+    p = Path(path)
+    return p if p.suffix == ".npz" else p.with_suffix(p.suffix + ".npz")
+
+
 def save_pytree(path, tree) -> None:
     """Save a pytree of arrays to an .npz (leaf paths as keys)."""
     leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
@@ -24,16 +31,20 @@ def save_pytree(path, tree) -> None:
     for key_path, leaf in leaves_with_paths:
         key = jax.tree_util.keystr(key_path)
         arrays[key] = np.asarray(leaf)
-    np.savez_compressed(Path(path), **arrays)
+    np.savez_compressed(_npz_path(path), **arrays)
 
 
 def load_pytree(path, like):
     """Load an .npz saved by :func:`save_pytree` into the structure of `like`.
 
     ``like`` provides the pytree structure (e.g. a freshly-initialized
-    EngineState); dtypes follow the saved arrays.
+    EngineState). Loaded leaves go through ``jnp.asarray``, so under the
+    default JAX config (x64 disabled) any float64 leaves saved from host
+    NumPy come back as float32 — the engine state is f32 throughout, so
+    round-trips are exact; enable ``jax_enable_x64`` before loading if f64
+    leaves must survive.
     """
-    data = np.load(Path(path))
+    data = np.load(_npz_path(path))
     leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(like)
     new_leaves = []
     for key_path, leaf in leaves_with_paths:

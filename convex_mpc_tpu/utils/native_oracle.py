@@ -8,6 +8,7 @@ independent oracle for the MPC QP; never imported by the TPU compute path.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import subprocess
 from pathlib import Path
 
@@ -22,14 +23,20 @@ _lib = None
 
 
 def _build() -> Path:
+    # Rebuild keyed on a content hash of the source (not mtimes): build/ is
+    # gitignored, so after a fresh clone the library is always compiled from
+    # the auditable qp_solver.cpp rather than any stale binary.
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
-    if _SO_PATH.exists() and _SO_PATH.stat().st_mtime >= _SRC.stat().st_mtime:
+    src_hash = hashlib.sha256(_SRC.read_bytes()).hexdigest()
+    stamp = _BUILD_DIR / "qp_solver.sha256"
+    if _SO_PATH.exists() and stamp.exists() and stamp.read_text().strip() == src_hash:
         return _SO_PATH
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
         "-o", str(_SO_PATH), str(_SRC),
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    stamp.write_text(src_hash)
     return _SO_PATH
 
 

@@ -167,6 +167,75 @@ def plot_traj_tracking(x_log, x_ref=None, path=None, block=False):
     return _finish(fig, path, block)
 
 
+_STATE_GROUPS = (
+    (slice(0, 3), ("pos_x", "pos_y", "pos_z"), "position [m]"),
+    (slice(3, 6), ("roll", "pitch", "yaw"), "attitude [rad]"),
+    (slice(6, 9), ("vel_x", "vel_y", "vel_z"), "velocity [m/s]"),
+    (slice(9, 12), ("roll_rate", "pitch_rate", "yaw_rate"), "omega [rad/s]"),
+)
+
+
+def plot_full_traj(x_opt, x_ref, path=None, block=False):
+    """Reference vs MPC-optimized 12-state horizon overlay.
+
+    Port of the reference's `plot_full_traj` (plot_helper.py:255-304): a
+    2x2 grid of (position, attitude, velocity, omega), solid = reference
+    trajectory, dotted = the QP's optimal state trajectory over one horizon.
+    Inputs are (N, 12) arrays (this package's row-major state layout).
+    """
+    plt = _plt()
+    x_opt = np.asarray(x_opt)
+    x_ref = np.asarray(x_ref)
+    k = np.arange(x_ref.shape[0])
+    fig, axes = plt.subplots(2, 2, figsize=(13, 8), constrained_layout=True)
+    colors = ("r", "g", "b")
+    for ax, (sl, names, ylabel) in zip(axes.T.reshape(-1), _STATE_GROUPS):
+        for j, name in enumerate(names):
+            ax.plot(k, x_ref[:, sl][:, j], color=colors[j], label=f"{name}_ref")
+            ax.plot(k, x_opt[:, sl][:, j], color=colors[j], linestyle=":",
+                    linewidth=2.5, label=f"{name}_opt")
+        ax.set_ylabel(ylabel)
+        ax.set_xlabel("horizon step")
+        ax.legend(fontsize=7)
+        ax.grid(True)
+    fig.suptitle("MPC horizon: reference vs optimized 12-state trajectory")
+    return _finish(fig, path, block)
+
+
+def plot_open_loop_validation(x_opt, x_rollout, x_ref=None, path=None, block=False):
+    """Open-loop SRB validation (reference test_MPC.py:256-266).
+
+    Overlays the QP's optimal state trajectory against an independent
+    open-loop rollout of the SRB dynamics under the optimal forces
+    (srb.rollout). The two must agree to solver accuracy; divergence means
+    the QP's internal dynamics model and the rollout disagree. ``x_rollout``
+    is (N+1, 12) (includes x0); ``x_opt`` is (N, 12).
+    """
+    plt = _plt()
+    x_opt = np.asarray(x_opt)
+    x_roll = np.asarray(x_rollout)[1:]
+    err = np.abs(x_opt - x_roll).max()
+    k = np.arange(x_opt.shape[0])
+    fig, axes = plt.subplots(2, 2, figsize=(13, 8), constrained_layout=True)
+    colors = ("r", "g", "b")
+    for ax, (sl, names, ylabel) in zip(axes.T.reshape(-1), _STATE_GROUPS):
+        for j, name in enumerate(names):
+            ax.plot(k, x_roll[:, sl][:, j], color=colors[j], label=f"{name}_rollout")
+            ax.plot(k, x_opt[:, sl][:, j], color=colors[j], linestyle=":",
+                    linewidth=2.5, label=f"{name}_opt")
+            if x_ref is not None:
+                ax.plot(k, np.asarray(x_ref)[:, sl][:, j], color=colors[j],
+                        linestyle="--", linewidth=0.8, alpha=0.5)
+        ax.set_ylabel(ylabel)
+        ax.set_xlabel("horizon step")
+        ax.legend(fontsize=7)
+        ax.grid(True)
+    fig.suptitle(
+        f"Open-loop SRB validation: X_opt vs rollout(U_opt), max |err| = {err:.2e}"
+    )
+    return _finish(fig, path, block)
+
+
 def hold_until_all_fig_closed():
     """Block until every figure window is closed (plot_helper.py:306-307)."""
     import matplotlib.pyplot as plt

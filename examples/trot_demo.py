@@ -44,6 +44,7 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
     import numpy as np
 
     from convex_mpc_tpu.control import gait as G
@@ -62,7 +63,8 @@ def main():
         sched = E.ramp_schedule(sched if args.schedule == "ref" else E.constant_schedule(
             vx=args.vx, vy=args.vy, wz=args.wz, t_end=args.seconds))
 
-    n_cycles = int(args.seconds * 48)
+    # one mpc_cycle advances steps_per_mpc*sim_dt = 20 ms -> 50 cycles/s
+    n_cycles = int(round(args.seconds * 50))
     state = E.init_state(dyn, n=16)
     state = state._replace(plant=P.init_plant(dyn, contact=contact))
 
@@ -116,6 +118,37 @@ def main():
         PL.plot_swing_foot_traj(logs, out / "swing_foot.png")
         PL.plot_solver_stats(logs, path=out / "solver.png")
         PL.plot_traj_tracking(x, path=out / "traj3d.png")
+
+        # horizon-level dashboards from one extra MPC solve at the final
+        # state: reference-vs-optimized overlay (reference plot_helper.py:
+        # 255-304) and the open-loop SRB validation (test_MPC.py:256-266)
+        from convex_mpc_tpu.control import reference as R
+        from convex_mpc_tpu.control import srb as S
+        from convex_mpc_tpu.mpc import admm, condensed
+
+        cmd = E.lookup_command(sched, state.t)
+        obs, _, _ = E.observe(
+            dyn, state.plant, state.yaw_cont, state.yaw_prev, state.vel_filt
+        )
+        traj, _ = R.generate(state.refgen, gait, obs, cmd, state.t, (1 / 3.0) / 16, 16)
+        p0 = traj.x0[0:3]
+        data, aux = condensed.build_condensed(
+            traj.dyn, traj.x0.at[0:3].set(0.0), traj.x_ref.at[:, 0:3].add(-p0),
+            traj.contact, jnp.asarray(q_diag, jnp.float32), 1e-5, 0.8, 10.0,
+        )
+        warm = state.solver._replace(rho=jnp.asarray(0.1, jnp.float32))
+        sol = admm.solve(data, warm, max_iter=args.solver_iters,
+                         scaled_termination=True, box_tail=16 * 12)
+        x_opt = np.asarray(condensed.recover_states(aux, traj.x0.at[0:3].set(0.0), sol.x))
+        x_roll = np.asarray(
+            S.rollout(traj.dyn, traj.x0.at[0:3].set(0.0),
+                      sol.x.reshape(16, 12))
+        )
+        x_ref_s = np.asarray(traj.x_ref.at[:, 0:3].add(-p0))
+        PL.plot_full_traj(x_opt, x_ref_s, path=out / "full_traj.png")
+        PL.plot_open_loop_validation(
+            x_opt, x_roll, x_ref_s, path=out / "open_loop_validation.png"
+        )
         print(f"[demo] plots saved to {out}/")
 
     if args.save_traj:

@@ -126,6 +126,45 @@ def test_plot_dashboards_render(dyn, tmp_path):
     assert (tmp_path / "traj.png").exists()
 
 
+def test_full_traj_and_open_loop_plots(dyn, tmp_path):
+    """Horizon overlay + open-loop SRB validation (reference test_MPC.py:256-266,
+    plot_helper.py:255-304): recover_states must agree with srb.rollout, and
+    both dashboards must render."""
+    import jax.numpy as jnp
+
+    from convex_mpc_tpu.control import gait as G
+    from convex_mpc_tpu.control import reference as R
+    from convex_mpc_tpu.control import srb as S
+    from convex_mpc_tpu.mpc import admm, condensed
+    from convex_mpc_tpu.sim import engine as E2
+    from convex_mpc_tpu.utils import plots as PL
+
+    gait = G.make_gait_params(3.0, 0.6)
+    state = E.init_state(dyn, n=16)
+    state = state._replace(plant=P.init_plant(dyn))
+    obs, _, _ = E2.observe(dyn, state.plant, state.yaw_cont, state.yaw_prev, state.vel_filt)
+    cmd = R.BodyCommand(vx=jnp.asarray(0.4), vy=jnp.asarray(0.0),
+                        z_pos=jnp.asarray(0.27), yaw_rate=jnp.asarray(0.0))
+    traj, _ = R.generate(state.refgen, gait, obs, cmd, state.t, (1 / 3.0) / 16, 16)
+    data, aux = condensed.build_condensed(
+        traj.dyn, traj.x0, traj.x_ref, traj.contact,
+        jnp.asarray([1, 1, 50, 10, 20, 1, 2, 2, 1, 1, 1, 1], jnp.float32),
+        1e-5, 0.8, 10.0,
+    )
+    sol = admm.solve(data, admm.init_state(data), max_iter=300,
+                     scaled_termination=True, box_tail=16 * 12)
+    x_opt = np.asarray(condensed.recover_states(aux, traj.x0, sol.x))
+    x_roll = np.asarray(S.rollout(traj.dyn, traj.x0, sol.x.reshape(16, 12)))
+    # the condensation operators and the sequential rollout are independent
+    # computations of the same linear dynamics: must agree to f32 accuracy
+    assert np.abs(x_opt - x_roll[1:]).max() < 1e-3
+    PL.plot_full_traj(x_opt, np.asarray(traj.x_ref), path=tmp_path / "full.png")
+    PL.plot_open_loop_validation(x_opt, x_roll, np.asarray(traj.x_ref),
+                                 path=tmp_path / "ol.png")
+    assert (tmp_path / "full.png").stat().st_size > 1000
+    assert (tmp_path / "ol.png").stat().st_size > 1000
+
+
 def test_command_schedule_lookup_edges():
     sched = E.reference_schedule()
     # inside a phase

@@ -54,7 +54,8 @@ def main():
 
     import qp_oracle as oracle
 
-    n_cycles = int(args.seconds * 48)
+    # one mpc_cycle advances steps_per_mpc*sim_dt = 20 ms -> 50 cycles/s
+    n_cycles = int(round(args.seconds * 50))
     errs, fzs = [], []
     for cyc in range(n_cycles):
         # capture the exact QP the engine will solve this cycle
