@@ -1,9 +1,18 @@
 """Benchmark: batched closed-loop MPC throughput on one chip.
 
-Measures full engine cycles (reference regeneration + QP assembly + ADMM
-solve + 20 x 1 kHz leg-control/physics ticks) for a sharded scenario batch
-and reports MPC solves/s/chip — the BASELINE.json primary metric. One cycle
-= one 16-step-horizon QP solve + 20 rollout steps per scenario.
+Measures full engine cycles (reference regeneration + QP assembly + QP solve
++ 20 x 1 kHz leg-control/physics ticks) for a scenario batch and reports MPC
+solves/s/chip — the BASELINE.json primary metric. One cycle = one
+16-step-horizon QP + 20 rollout steps per scenario.
+
+The headline number uses the PRODUCTION configuration: the batch-global
+adaptive solver (admm.solve_adaptive via engine.mpc_cycle_batch) with the
+same escalation cap (max_iter=600) that completes the full 10 s reference
+command schedule — i.e. the throughput of the configuration the robustness
+claims hold for, not of a weakened fixed-iteration setting. The JSON also
+records the solver configuration, the measured mean iterations/cycle, and
+the legacy fixed-iteration path at 150/400 iters as the iters->throughput
+reference curve.
 
 vs_baseline: the reference runs ONE robot at its 48 Hz MPC rate on a CPU
 (real-time budget 20.8 ms/solve, README.md:177-184 — barely met). Each
@@ -19,72 +28,97 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+BATCH = 512
+MAX_ITER = 600  # adaptive escalation cap (certified: completes the schedule)
+WINDOWS = 3
+CYCLES_PER_WINDOW = 5
+
 
 def main():
-    batch = 512
-    windows = 3
-    cycles_per_window = 5
-    solver_iters = 150  # warm-started regime (see tests/test_qp.py)
-
     from convex_mpc_tpu.control import gait as G
     from convex_mpc_tpu.models import dynamics as D
     from convex_mpc_tpu.sim import engine as E
     from convex_mpc_tpu.sim import physics as P
 
     dyn = D.build_dyn()
-    gait = G.make_gait_params(3.0, 0.6)
     contact = P.default_contact(kn=30000, dn=1000)
-    sched = E.constant_schedule(vx=0.5)
-
-    def step(state):
-        new_state, _ = E.mpc_cycle(
-            dyn, gait, contact, sched, state, n=16, solver_iters=solver_iters
-        )
-        return new_state
+    gait_b = E.broadcast_batch(G.make_gait_params(3.0, 0.6), BATCH)
+    contact_b = E.broadcast_batch(contact, BATCH)
+    sched_b = E.broadcast_batch(E.constant_schedule(vx=0.5), BATCH)
 
     state = E.init_state(dyn, n=16)
     state = state._replace(plant=P.init_plant(dyn, contact=contact))
-    state_b = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (batch,) + x.shape).copy(), state
-    )
+    state_b = E.broadcast_batch(state, BATCH)
     # small per-scenario variation so nothing collapses to identical work
-    xs = jnp.linspace(-0.02, 0.02, batch)
+    xs = jnp.linspace(-0.02, 0.02, BATCH)
     state_b = state_b._replace(
         plant=state_b.plant._replace(q=state_b.plant.q.at[:, 0].add(xs))
     )
 
-    fn = jax.jit(jax.vmap(step))
-    state_b = fn(state_b)  # compile + first step
-    for _ in range(2):  # settle warm-start caches
-        state_b = fn(state_b)
-    jax.block_until_ready(state_b)
+    def adaptive_step(s):
+        s2, log = E.mpc_cycle_batch(
+            dyn, gait_b, contact_b, sched_b, s, solver_iters=MAX_ITER
+        )
+        return s2, log.solver_iters
 
-    # best-of-N windows: the shared TPU pool shows large interference
-    # variance; best-window is the standard defense
-    best = float("inf")
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(cycles_per_window):
-            state_b = fn(state_b)
-        jax.block_until_ready(state_b)
-        best = min(best, time.perf_counter() - t0)
+    def fixed_step_fn(iters):
+        def step(s):
+            s2, _ = E.mpc_cycle(dyn, G.make_gait_params(3.0, 0.6), contact,
+                                E.constant_schedule(vx=0.5), s, n=16,
+                                solver_iters=iters)
+            return s2
+        return jax.jit(jax.vmap(step))
 
-    n_dev = max(1, len(set(d for l in jax.tree.leaves(state_b) for d in l.devices())))
-    solves_per_s = batch * cycles_per_window / best / n_dev
+    def best_window(fn, s, n_out=1):
+        out = fn(s)
+        s = out[0] if isinstance(out, tuple) else out
+        for _ in range(2):  # settle warm starts
+            out = fn(s)
+            s = out[0] if isinstance(out, tuple) else out
+        jax.block_until_ready(s)
+        best = float("inf")
+        last_aux = None
+        for _ in range(WINDOWS):
+            t0 = time.perf_counter()
+            for _ in range(CYCLES_PER_WINDOW):
+                out = fn(s)
+                if isinstance(out, tuple):
+                    s, last_aux = out
+                else:
+                    s = out
+            jax.block_until_ready(s)
+            best = min(best, time.perf_counter() - t0)
+        return best, s, last_aux
 
-    # sanity: the batch must still be upright (bench measures *working* control)
-    z = np.asarray(state_b.plant.q[:, 2])
+    fn_ada = jax.jit(adaptive_step)
+    t_ada, state_ada, iters_last = best_window(fn_ada, state_b)
+    solves_ada = BATCH * CYCLES_PER_WINDOW / t_ada
+    iters_mean = float(np.asarray(iters_last).mean())
+
+    # legacy fixed-iteration reference points (iters -> throughput curve)
+    curve = {}
+    for iters in (150, 400):
+        fn = fixed_step_fn(iters)
+        t_fix, _, _ = best_window(fn, state_b)
+        curve[f"fixed{iters}_solves_per_s"] = round(BATCH * CYCLES_PER_WINDOW / t_fix, 1)
+
+    # health: the adaptive-path batch must still be upright after the bench
+    z = np.asarray(state_ada.plant.q[:, 2])
     ok = bool(np.isfinite(z).all() and (z > 0.1).all() and (z < 0.6).all())
 
     print(
         json.dumps(
             {
                 "metric": "mpc_solves_per_s_per_chip",
-                "value": round(solves_per_s, 1),
+                "value": round(solves_ada, 1),
                 "unit": "solves/s/chip (each = 16-step QP + 20 x 1kHz rollout ticks)",
-                "vs_baseline": round(solves_per_s / 48.0, 2),
-                "batch": batch,
+                "vs_baseline": round(solves_ada / 48.0, 2),
+                "batch": BATCH,
+                "solver": "adaptive",
+                "solver_max_iter": MAX_ITER,
+                "iters_mean": round(iters_mean, 1),
                 "healthy": ok,
+                **curve,
             }
         )
     )

@@ -416,3 +416,250 @@ def _unscaled_residuals(
 def solve_batch(qp: QpData, state: AdmmState, **kwargs) -> AdmmSolution:
     """Batched solve: every leaf of qp/state has a leading batch axis."""
     return jax.vmap(lambda q, st: solve(q, st, **kwargs))(qp, state)
+
+
+# ---------------------------------------------------------------------------
+# Batch-global adaptive solver (OSQP-faithful refactor-on-demand)
+# ---------------------------------------------------------------------------
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_iter", "check_every", "scaling_iters", "box_tail",
+        "rho_refactor_ratio", "setup_precision", "debug",
+    ),
+)
+def solve_adaptive(
+    qp: QpData,
+    state: AdmmState,
+    sigma: float = 1e-6,
+    alpha: float = 1.6,
+    eq_scale: float = 1e3,
+    eps_abs: float = 1e-4,
+    eps_rel: float = 1e-4,
+    max_iter: int = 600,
+    check_every: int = 25,
+    scaling_iters: int = 10,
+    box_tail: int = 0,
+    rho_refactor_ratio: float = 5.0,
+    stall_tol: float = 0.05,
+    stall_dual_cap: float = 2.5,
+    rho_accept_max: float = 5e-4,
+    setup_precision=lax.Precision.HIGHEST,
+    debug: bool = False,
+) -> AdmmSolution:
+    """Batched adaptive-iteration ADMM with refactor-on-demand.
+
+    This is the faithful TPU re-architecture of OSQP's runtime behavior
+    (reference centroidal_mpc.py:20-38: check_termination=10,
+    adaptive_rho_interval=25, scaled termination, refactor on rho update),
+    replacing the fixed segment schedule of :func:`solve`:
+
+    - **every leaf of ``qp``/``state`` carries a leading batch axis** and the
+      whole batch runs as ONE program (no vmap): per-scenario convergence
+      flags and rho live inside the loop, while the *control flow* is
+      batch-global;
+    - a ``lax.while_loop`` runs ``check_every``-iteration chunks until every
+      scenario meets the OSQP scaled termination criterion (or ``max_iter``):
+      steady-state cycles stop early, hard gait-transition cycles escalate to
+      the full budget — per-cycle parity spikes get iterations instead of a
+      fixed truncation;
+    - rho adapts per scenario from the residual ratio each chunk, but the KKT
+      matrix is only re-factorized when some unconverged scenario's rho moved
+      by more than ``rho_refactor_ratio`` — a scalar predicate, so the
+      ``lax.cond`` refactorization is genuinely skipped (not select-ed) in
+      the common all-stable case. A warm-started trot cycle typically pays
+      ONE factorization; the old path paid ``segments`` of them always.
+
+    Requires a dense-P QP with ``box_tail`` identity rows (the condensed
+    MPC form). Returns per-scenario :class:`AdmmSolution` with batch axes.
+    """
+    with jax.default_matmul_precision("highest"):
+        dtype = qp.q.dtype
+        B, nz = qp.q.shape
+        m = qp.l.shape[-1]
+        m_fr = m - box_tail
+        assert box_tail > 0, "solve_adaptive requires the condensed box_tail form"
+
+        s = jax.vmap(lambda q: ruiz_equilibrate(q, scaling_iters))(qp)
+        is_eq = (qp.u - qp.l) < 1e-9  # (B, m)
+
+        # warm start into scaled space
+        x = state.x / s.d
+        z = jnp.clip(state.z * s.e, s.l, s.u)
+        y = s.c[:, None] * state.y / s.e
+        rho = jnp.clip(state.rho, 1e-6, 1e6)  # (B,)
+        if rho.ndim == 0:
+            rho = jnp.full((B,), rho, dtype)
+
+        A_fr = s.A[:, :m_fr, :]  # (B, m_fr, nz)
+        box_diag = jnp.diagonal(s.A[:, m_fr:, :], axis1=-2, axis2=-1)  # (B, nz)
+        w_vec = jnp.where(is_eq, eq_scale, 1.0).astype(dtype)  # (B, m)
+        w_fr, w_box = w_vec[:, :m_fr], w_vec[:, m_fr:]
+
+        def bmm(a, b):
+            return jnp.matmul(a, b, precision=setup_precision)
+
+        P_mat = s.p_dense + sigma * jnp.eye(nz, dtype=dtype)
+        K = bmm(jnp.swapaxes(A_fr, -1, -2), A_fr * w_fr[:, :, None])  # (B, nz, nz)
+        K_box_diag = w_box * box_diag * box_diag  # (B, nz)
+        eye = jnp.eye(nz, dtype=dtype)
+
+        def factorize(rho):
+            M = (
+                P_mat
+                + rho[:, None, None] * K
+                + (rho[:, None] * K_box_diag)[:, :, None] * eye
+            )
+            L = jnp.linalg.cholesky(M)
+            Linv = jax.scipy.linalg.solve_triangular(
+                L, jnp.broadcast_to(eye, L.shape), lower=True
+            )
+            return bmm(jnp.swapaxes(Linv, -1, -2), Linv)
+
+        def mv_A(v):  # (B, nz) -> (B, m)
+            fr = jnp.einsum("bmn,bn->bm", A_fr, v, precision=_PRECISION)
+            return jnp.concatenate([fr, box_diag * v], axis=-1)
+
+        def mv_AT(w):  # (B, m) -> (B, nz)
+            fr = jnp.einsum("bnm,bn->bm", A_fr, w[:, :m_fr], precision=_PRECISION)
+            return fr + box_diag * w[:, m_fr:]
+
+        def residuals(x, z, y):
+            """OSQP scaled-space termination quantities, per scenario."""
+            ax = mv_A(x)
+            aty = mv_AT(y)
+            px = jnp.einsum("bnm,bm->bn", s.p_dense, x, precision=_PRECISION)
+            rp = jnp.max(jnp.abs(ax - z), axis=-1)
+            ep = eps_abs + eps_rel * jnp.maximum(
+                jnp.max(jnp.abs(ax), axis=-1), jnp.max(jnp.abs(z), axis=-1)
+            )
+            rd = jnp.max(jnp.abs(px + s.q + aty), axis=-1)
+            ed = eps_abs + eps_rel * jnp.maximum(
+                jnp.max(jnp.abs(px), axis=-1),
+                jnp.maximum(jnp.max(jnp.abs(aty), axis=-1), jnp.max(jnp.abs(s.q), axis=-1)),
+            )
+            return rp / ep, rd / ed
+
+        def chunk_iters(x, z, y, rho, Minv):
+            rho_vec = rho[:, None] * w_vec
+
+            def body(_, carry):
+                x, z, y = carry
+                rhs = sigma * x - s.q + mv_AT(rho_vec * z - y)
+                xt = jnp.einsum("bnm,bm->bn", Minv, rhs, precision=_PRECISION)
+                axt = mv_A(xt)
+                x_new = alpha * xt + (1.0 - alpha) * x
+                ax_rel = alpha * axt + (1.0 - alpha) * z
+                z_new = jnp.clip(ax_rel + y / rho_vec, s.l, s.u)
+                y_new = y + rho_vec * (ax_rel - z_new)
+                return (x_new, z_new, y_new)
+
+            return lax.fori_loop(0, check_every, body, (x, z, y))
+
+        Minv0 = factorize(rho)
+        conv0 = jnp.zeros((B,), bool)
+        conv_iter0 = jnp.full((B,), -1, jnp.int32)
+        n_chunks = max_iter // check_every
+        # rho policy: for this QP family (flat R = 1e-5 force directions) the
+        # dual residual dr(rho) has a minimum near rho ~ 1e-4 in the scaled
+        # space, and the classic OSQP ratio sqrt(pr/dr) says "shrink" on BOTH
+        # sides of it — following it overshoots into a regime where ADMM
+        # stalls (measured: dr sticks at ~6x tolerance at rho = 1e-6). So:
+        # descend rho (ratio-guided, at most 10x per step) at most
+        # `max_adapts` times, one step every `adapt_stride` chunks — the same
+        # 100-iteration settling period per rho as the proven fixed-segment
+        # path (adapting every chunk was measured to degrade both
+        # convergence and closed-loop margins: ADMM needs ~100 iterations at
+        # a rho before its residuals are informative). The bounded descent
+        # cannot overshoot the optimum. After the adaptation window: pure
+        # iteration escalation to max_iter.
+        adapt_stride = max(1, 100 // check_every)
+        max_adapts = 3
+
+        def cond(carry):
+            converged, it = carry[5], carry[7]
+            return (~converged).any() & (it < n_chunks)
+
+        def body(carry):
+            x, z, y, rho, Minv, converged, conv_iter, it, n_fact = carry
+            x_prev = x
+            x, z, y = chunk_iters(x, z, y, rho, Minv)
+            pr, dr = residuals(x, z, y)
+            # Fixed-point stall exit: the dual criterion sits at the f32
+            # dense-P matvec noise floor (dr wanders ~0.8-6x tolerance while
+            # forces are already ~1e-4 relative — 100x inside the 2% parity
+            # budget). When the primal criterion holds, the dual residual is
+            # within a small multiple of its floor, and the UNSCALED iterate
+            # moved < stall_tol Newtons over a whole chunk, further
+            # iterations change nothing physical: accept. The dual cap
+            # matters: a far-from-optimal iterate can also crawl slowly
+            # (small step) during hard command transitions, but its dual
+            # residual is then large — without the cap, those premature
+            # accepts measurably degrade closed-loop margins.
+            # Accepts are gated on rho having reached the attractor region
+            # (<= rho_accept_max): in the flat R = 1e-5 force directions a
+            # gradient-based tolerance admits x displacements of
+            # ~residual/curvature, and at rho >= 1e-3 the OSQP criterion was
+            # measured to fire at points still ~2% from the f64 optimum.
+            # Warm-started cycles carry rho ~ 1e-4 and may accept from the
+            # first chunk; cold walks may not accept until the descent
+            # reaches the accurate regime.
+            rho_ok = rho <= rho_accept_max
+            step = jnp.max(jnp.abs(s.d * (x - x_prev)), axis=-1)
+            stalled = (
+                rho_ok & (pr <= 1.0) & (dr <= stall_dual_cap) & (step <= stall_tol)
+            )
+            if debug:
+                jax.debug.print(
+                    "chunk {it} rho={rho} pr={pr} dr={dr} step={st}",
+                    it=it, rho=rho, pr=pr, dr=dr, st=step,
+                )
+            newly = (rho_ok & (pr <= 1.0) & (dr <= 1.0)) | stalled
+            iters_done = (it + 1) * check_every
+            conv_iter = jnp.where(newly & (conv_iter < 0), iters_done, conv_iter)
+            converged = converged | newly
+            # descend at the 100-iteration boundaries only, at most
+            # max_adapts times: 0.1 * (0.1)^3 bounds the walk at 1e-4 (the
+            # measured dr(rho) optimum) — no overshoot is possible, so no
+            # revert logic is needed (an earlier revert-on-worse-dr guard
+            # mis-froze rho from noisy boundary comparisons on cold starts)
+            at_boundary = ((it + 1) % adapt_stride) == 0
+            can = (
+                (~converged) & at_boundary
+                & (it < adapt_stride * (max_adapts + 1))
+            )
+            ratio = jnp.sqrt(pr / jnp.maximum(dr, 1e-12))
+            rho_desc = jnp.clip(rho * jnp.clip(ratio, 0.1, 1.0), 1e-6, 1e6)
+            moved = jnp.abs(jnp.log(rho_desc / rho)) > jnp.log(rho_refactor_ratio)
+            descend = can & moved
+            rho_new = jnp.where(descend, rho_desc, rho)
+            do_refactor = descend.any()
+            Minv = lax.cond(do_refactor, lambda: factorize(rho_new), lambda: Minv)
+            n_fact = n_fact + do_refactor.astype(jnp.int32)
+            return (x, z, y, rho_new, Minv, converged, conv_iter, it + 1, n_fact)
+
+        carry = (
+            x, z, y, rho, Minv0, conv0, conv_iter0, jnp.asarray(0, jnp.int32),
+            jnp.asarray(1, jnp.int32),
+        )
+        out = lax.while_loop(cond, body, carry)
+        x, z, y, rho, _, converged, conv_iter, it, n_fact = out[:9]
+
+        # unscale + raw residual report
+        x_out = s.d * x
+        y_out = s.e * y / s.c[:, None]
+        z_out = z / s.e
+        ax = jnp.einsum("bmn,bn->bm", qp.A, x_out, precision=_PRECISION)
+        rp = jnp.max(jnp.abs(ax - z_out), axis=-1)
+        px = jnp.einsum("bnm,bm->bn", qp.p_dense, x_out, precision=_PRECISION)
+        aty = jnp.einsum("bnm,bn->bm", qp.A, y_out, precision=_PRECISION)
+        rd = jnp.max(jnp.abs(px + qp.q + aty), axis=-1)
+        iters = jnp.where(conv_iter < 0, it * check_every, conv_iter)
+        return AdmmSolution(
+            x=x_out,
+            y=y_out,
+            prim_res=rp,
+            dual_res=rd,
+            iters=iters,
+            state=AdmmState(x=x_out, z=z_out, y=y_out, rho=rho),
+        )

@@ -27,6 +27,61 @@ def ein(subscripts, *operands):
     return jnp.einsum(subscripts, *operands, precision=PRECISION)
 
 
+def blocked_cholesky(A, block: int = 64):
+    """Right-looking blocked Cholesky factorization (lower).
+
+    XLA's monolithic batched Cholesky serializes a column-at-a-time inner
+    loop over all n columns; the blocked form runs the same serial loop only
+    inside ``block``-sized diagonal blocks while every panel/trailing update
+    is a batched matmul on the MXU:
+
+        L_kk       = chol(A_kk - sum_j L_kj L_kj')
+        L_ik       = (A_ik - sum_j L_ij L_kj') L_kk^-T,   i > k
+
+    Requires n to be a multiple of ``block``.
+    """
+    import jax
+
+    n = A.shape[-1]
+    assert n % block == 0, (n, block)
+    nb = n // block
+    eye = jnp.eye(block, dtype=A.dtype)
+
+    def blk(i, j):
+        return A[..., i * block : (i + 1) * block, j * block : (j + 1) * block]
+
+    L = [[None] * nb for _ in range(nb)]
+    for k in range(nb):
+        Akk = blk(k, k)
+        for j in range(k):
+            Akk = Akk - mm(L[k][j], jnp.swapaxes(L[k][j], -1, -2))
+        Lkk = jnp.linalg.cholesky(Akk)
+        L[k][k] = Lkk
+        if k + 1 < nb:
+            Lkk_invT = jnp.swapaxes(
+                jax.scipy.linalg.solve_triangular(
+                    Lkk, jnp.broadcast_to(eye, Lkk.shape), lower=True
+                ),
+                -1,
+                -2,
+            )
+        for i in range(k + 1, nb):
+            Aik = blk(i, k)
+            for j in range(k):
+                Aik = Aik - mm(L[i][j], jnp.swapaxes(L[k][j], -1, -2))
+            L[i][k] = mm(Aik, Lkk_invT)
+
+    zero = jnp.zeros_like(L[0][0])
+    rows = [
+        jnp.concatenate(
+            [L[i][j] if j <= i else jnp.broadcast_to(zero, L[i][i].shape) for j in range(nb)],
+            axis=-1,
+        )
+        for i in range(nb)
+    ]
+    return jnp.concatenate(rows, axis=-2)
+
+
 def blocked_tri_inverse(L, block: int = 64):
     """Inverse of a lower-triangular matrix via block back-substitution.
 

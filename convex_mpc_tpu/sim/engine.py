@@ -384,7 +384,7 @@ def _run_ticks(
     jax.jit,
     static_argnames=(
         "n", "steps_per_mpc", "solver_iters", "tau_max", "mpc_dt", "sim_dt",
-        "check_every",
+        "check_every", "stall_tol",
     ),
 )
 def mpc_cycle_batch(
@@ -405,6 +405,7 @@ def mpc_cycle_batch(
     fz_min: float = 10.0,
     vel_filter_hz: float = 30.0,
     check_every: int = 25,
+    stall_tol: float = 0.05,
 ) -> tuple[EngineState, CycleLog]:
     """One MPC period for a scenario BATCH with the batch-global adaptive solver.
 
@@ -435,16 +436,9 @@ def mpc_cycle_batch(
 
     data_b, traj_b, refgen_b, cmd_b, yc_b, yp_b = jax.vmap(pre)(gait, sched, state)
 
-    # carry (x, y) warm starts; clamp carried rho into [1e-4, 0.1] — the
-    # descent-with-revert policy inside solve_adaptive only moves rho DOWN,
-    # so a carried value below the dr(rho) optimum (~1e-4 scaled) would be a
-    # trap where the stall-exit could fire early on hard transition cycles.
-    warm = state.solver._replace(
-        rho=jnp.clip(state.solver.rho, 1e-4, 0.1)
-    )
     sol = admm.solve_adaptive(
-        data_b, warm, max_iter=solver_iters, check_every=check_every,
-        box_tail=n * 12,
+        data_b, state.solver, max_iter=solver_iters, check_every=check_every,
+        box_tail=n * 12, stall_tol=stall_tol,
     )
     u0_b = sol.x[:, 0:12].reshape(-1, 4, 3)
 
@@ -459,11 +453,25 @@ def mpc_cycle_batch(
         gait, contact, cmd_b, traj_b, u0_b, state, yc_b, yp_b
     )
 
+    # rho warm-carry policy: carry the adapted rho only out of EASY cycles
+    # (converged within ~one adaptation period) — steady trot then skips the
+    # 0.1 -> 1e-4 descent walk entirely (1 factorization, ~50-100 iters).
+    # A slow/non-converged cycle signals a transition where the Ruiz scaling
+    # shifted: reset to 0.1 so the next solve re-runs the full robust
+    # descent from above (the adaptive policy cannot move rho up). Measured:
+    # always-carry degrades closed-loop margins at the schedule's hard
+    # transitions; always-reset costs ~3x iterations in steady state.
+    rho_carry = jnp.where(
+        sol.iters < solver_iters,
+        jnp.clip(sol.state.rho, 1e-5, 0.1),
+        jnp.full_like(sol.state.rho, 0.1),
+    )
+
     new_state = EngineState(
         plant=plant,
         leg=leg_state,
         refgen=refgen_b,
-        solver=sol.state,
+        solver=sol.state._replace(rho=rho_carry),
         yaw_cont=yaw_cont,
         yaw_prev=yaw_prev,
         u0=u0_b,
@@ -496,5 +504,26 @@ def simulate(
 
     def body(s, _):
         return mpc_cycle(dyn, gait, contact, sched, s, **cycle_kwargs)
+
+    return jax.lax.scan(body, state, None, length=n_cycles)
+
+
+def simulate_batched(
+    dyn: D.Go2Dyn,
+    gait: G.GaitParams,
+    contact: P.ContactParams,
+    sched: CommandSchedule,
+    state: EngineState,
+    n_cycles: int,
+    **cycle_kwargs,
+) -> tuple[EngineState, CycleLog]:
+    """Batched-engine counterpart of :func:`simulate`: every input pytree
+    carries a leading batch axis and the QP solve runs batch-globally with
+    the adaptive solver (see :func:`mpc_cycle_batch`). Keep ``n_cycles``
+    modest per call on the tunnel-attached TPU (long device programs can
+    kill the remote worker); chunk at the host level for long runs."""
+
+    def body(s, _):
+        return mpc_cycle_batch(dyn, gait, contact, sched, s, **cycle_kwargs)
 
     return jax.lax.scan(body, state, None, length=n_cycles)

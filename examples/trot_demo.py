@@ -37,6 +37,11 @@ def main():
                     help="slew-rate-limit the command schedule (widens margins)")
     ap.add_argument("--tuned", action="store_true",
                     help="tuned cost profile (Q_vy=8; tighter lateral tracking)")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="batch-global adaptive solver (early exit + "
+                         "refactor-on-demand); --solver-iters becomes the cap")
+    ap.add_argument("--stall-tol", type=float, default=0.05,
+                    help="adaptive solver fixed-point stall exit [N]")
     args = ap.parse_args()
 
     import jax
@@ -73,10 +78,31 @@ def main():
     t0 = time.perf_counter()
     q_diag = (1, 1, 50, 10, 20, 1, 2, 8, 1, 1, 1, 1) if args.tuned else (
         1, 1, 50, 10, 20, 1, 2, 2, 1, 1, 1, 1)
-    state, logs = E.simulate(
-        dyn, gait, contact, sched, state, n_cycles=n_cycles,
-        solver_iters=args.solver_iters, q_diag=q_diag,
-    )
+    if args.adaptive:
+        # batched engine at B=1: batch-global adaptive solver with early
+        # exit; chunk the scan at the host to keep device programs short
+        gait_b = E.broadcast_batch(gait, 1)
+        contact_b = E.broadcast_batch(contact, 1)
+        sched_b = E.broadcast_batch(sched, 1)
+        state_b = E.broadcast_batch(state, 1)
+        chunks, logs_l = max(1, n_cycles // 50), []
+        done = 0
+        for c in range(chunks):
+            n_c = n_cycles // chunks + (1 if c < n_cycles % chunks else 0)
+            state_b, lg = E.simulate_batched(
+                dyn, gait_b, contact_b, sched_b, state_b, n_cycles=n_c,
+                solver_iters=args.solver_iters, q_diag=q_diag,
+                stall_tol=args.stall_tol,
+            )
+            logs_l.append(jax.tree.map(lambda a: a[:, 0], lg))
+            done += n_c
+        logs = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *logs_l)
+        state = jax.tree.map(lambda a: a[0], state_b)
+    else:
+        state, logs = E.simulate(
+            dyn, gait, contact, sched, state, n_cycles=n_cycles,
+            solver_iters=args.solver_iters, q_diag=q_diag,
+        )
     jax.block_until_ready(state)
     wall = time.perf_counter() - t0
     print(f"[demo] done in {wall:.1f}s wall ({args.seconds / wall:.2f}x realtime)")

@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--wz", type=float, default=0.0)
     ap.add_argument("--solver-iters", type=int, default=400)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="use the adaptive solver path (mpc_cycle_batch, "
+                         "B=1); --solver-iters becomes the escalation cap")
+    ap.add_argument("--schedule", default="const", choices=["const", "ref"],
+                    help="'ref' = the full 10s reference command schedule")
     args = ap.parse_args()
 
     import jax
@@ -48,16 +53,27 @@ def main():
     dyn = D.build_dyn()
     gait = G.make_gait_params(3.0, 0.6)
     contact = P.default_contact()
-    sched = E.constant_schedule(vx=args.vx, wz=args.wz)
+    if args.schedule == "ref":
+        sched = E.reference_schedule()
+        args.seconds = max(args.seconds, 10.0)
+    else:
+        sched = E.constant_schedule(vx=args.vx, wz=args.wz)
     state = E.init_state(dyn, n=16)
     state = state._replace(plant=P.init_plant(dyn, contact=contact))
+    if args.adaptive:
+        gait_b = E.broadcast_batch(gait, 1)
+        contact_b = E.broadcast_batch(contact, 1)
+        sched_b = E.broadcast_batch(sched, 1)
+        state_b = E.broadcast_batch(state, 1)
 
     import qp_oracle as oracle
 
     # one mpc_cycle advances steps_per_mpc*sim_dt = 20 ms -> 50 cycles/s
     n_cycles = int(round(args.seconds * 50))
-    errs, fzs = [], []
+    errs, fzs, iters = [], [], []
     for cyc in range(n_cycles):
+        if args.adaptive:
+            state = jax.tree.map(lambda a: a[0], state_b)
         # capture the exact QP the engine will solve this cycle
         cmd = E.lookup_command(sched, state.t)
         obs, _, _ = E.observe(dyn, state.plant, state.yaw_cont, state.yaw_prev, state.vel_filt)
@@ -79,22 +95,40 @@ def main():
         u_ref0 = x64[192:204]
 
         # step the engine (its own solve, warm-started)
-        state, log = E.mpc_cycle(
-            dyn, gait, contact, sched, state, solver_iters=args.solver_iters
-        )
+        if args.adaptive:
+            state_b, log = E.mpc_cycle_batch(
+                dyn, gait_b, contact_b, sched_b, state_b,
+                solver_iters=args.solver_iters,
+            )
+            state = jax.tree.map(lambda a: a[0], state_b)
+            iters.append(int(log.solver_iters[0]))
+        else:
+            state, log = E.mpc_cycle(
+                dyn, gait, contact, sched, state, solver_iters=args.solver_iters
+            )
+            iters.append(int(log.solver_iters))
         u0 = np.asarray(state.u0, float).reshape(12)
         scale = max(np.abs(u_ref0).max(), 1.0)
         errs.append(np.abs(u0 - u_ref0).max() / scale)
         fzs.append(u_ref0[2::3].sum())
 
     errs = np.asarray(errs) * 100
-    print(f"cycles: {n_cycles}  (commanded vx={args.vx} wz={args.wz})")
+    it = np.asarray(iters)
+    cmd_desc = "ref schedule" if args.schedule == "ref" else f"vx={args.vx} wz={args.wz}"
+    print(f"cycles: {n_cycles}  ({cmd_desc}  "
+          f"{'adaptive' if args.adaptive else 'fixed'} solver)")
     print(
         f"in-loop applied-force error vs f64 optimum [%]: "
         f"mean {errs.mean():.3f}  p95 {np.percentile(errs, 95):.3f}  max {errs.max():.3f}"
     )
-    print(f"over 2% budget: {(errs > 2.0).sum()}/{n_cycles} cycles")
-    sys.exit(0 if (errs > 2.0).mean() < 0.02 else 1)
+    print(f"solver iters: mean {it.mean():.0f}  p95 {np.percentile(it, 95):.0f}  "
+          f"max {it.max()}")
+    n_over = int((errs > 2.0).sum())
+    print(f"over 2% budget: {n_over}/{n_cycles} cycles")
+    # adaptive path (iteration escalation) must leave ZERO cycles over budget;
+    # the fixed path tolerates up to 2% of cycles (documented round-1 gap)
+    ok = n_over == 0 if args.adaptive else (errs > 2.0).mean() < 0.02
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":
