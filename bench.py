@@ -66,29 +66,24 @@ def main():
             s2, _ = E.mpc_cycle(dyn, G.make_gait_params(3.0, 0.6), contact,
                                 E.constant_schedule(vx=0.5), s, n=16,
                                 solver_iters=iters)
-            return s2
+            return s2, jnp.zeros(())
         return jax.jit(jax.vmap(step))
 
-    def best_window(fn, s, n_out=1):
-        out = fn(s)
-        s = out[0] if isinstance(out, tuple) else out
+    def best_window(fn, s):
+        # every fn returns (EngineState, aux) — EngineState itself is a
+        # NamedTuple, so discriminate by position, never isinstance(tuple)
+        s, aux = fn(s)
         for _ in range(2):  # settle warm starts
-            out = fn(s)
-            s = out[0] if isinstance(out, tuple) else out
+            s, aux = fn(s)
         jax.block_until_ready(s)
         best = float("inf")
-        last_aux = None
         for _ in range(WINDOWS):
             t0 = time.perf_counter()
             for _ in range(CYCLES_PER_WINDOW):
-                out = fn(s)
-                if isinstance(out, tuple):
-                    s, last_aux = out
-                else:
-                    s = out
+                s, aux = fn(s)
             jax.block_until_ready(s)
             best = min(best, time.perf_counter() - t0)
-        return best, s, last_aux
+        return best, s, aux
 
     fn_ada = jax.jit(adaptive_step)
     t_ada, state_ada, iters_last = best_window(fn_ada, state_b)

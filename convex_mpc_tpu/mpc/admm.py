@@ -441,7 +441,7 @@ def solve_adaptive(
     scaling_iters: int = 10,
     box_tail: int = 0,
     rho_refactor_ratio: float = 5.0,
-    stall_tol: float = 0.05,
+    stall_tol: float = 0.02,
     stall_dual_cap: float = 2.5,
     rho_accept_max: float = 5e-4,
     setup_precision=lax.Precision.HIGHEST,
@@ -581,7 +581,7 @@ def solve_adaptive(
             return (~converged).any() & (it < n_chunks)
 
         def body(carry):
-            x, z, y, rho, Minv, converged, conv_iter, it, n_fact = carry
+            x, z, y, rho, Minv, converged, conv_iter, it, n_fact, d_count = carry
             x_prev = x
             x, z, y = chunk_iters(x, z, y, rho, Minv)
             pr, dr = residuals(x, z, y)
@@ -624,23 +624,37 @@ def solve_adaptive(
             # revert logic is needed (an earlier revert-on-worse-dr guard
             # mis-froze rho from noisy boundary comparisons on cold starts)
             at_boundary = ((it + 1) % adapt_stride) == 0
-            can = (
-                (~converged) & at_boundary
-                & (it < adapt_stride * (max_adapts + 1))
-            )
+            can = (~converged) & at_boundary & (d_count < max_adapts)
             ratio = jnp.sqrt(pr / jnp.maximum(dr, 1e-12))
             rho_desc = jnp.clip(rho * jnp.clip(ratio, 0.1, 1.0), 1e-6, 1e6)
             moved = jnp.abs(jnp.log(rho_desc / rho)) > jnp.log(rho_refactor_ratio)
             descend = can & moved
+            d_count = d_count + descend.astype(jnp.int32)
             rho_new = jnp.where(descend, rho_desc, rho)
-            do_refactor = descend.any()
+            # rescue: a warm-started scenario stuck at attractor-region rho
+            # without converging (bad warm start after a contact-mask edge)
+            # restarts the full cold walk from 0.1 mid-solve — measured to
+            # recover like a cold start (~350 more iters) where plain
+            # escalation at the carried rho ran to the cap
+            rescue = (
+                ((it + 1) == rescue_chunk)
+                & (~converged) & (rho <= rho_accept_max)
+            )
+            rho_new = jnp.where(rescue, 0.1, rho_new)
+            d_count = jnp.where(rescue, 0, d_count)
+            do_refactor = (descend | rescue).any()
             Minv = lax.cond(do_refactor, lambda: factorize(rho_new), lambda: Minv)
             n_fact = n_fact + do_refactor.astype(jnp.int32)
-            return (x, z, y, rho_new, Minv, converged, conv_iter, it + 1, n_fact)
+            return (x, z, y, rho_new, Minv, converged, conv_iter, it + 1, n_fact,
+                    d_count)
 
+        # cold starts (rho = 0.1 > rho_accept_max) have the full descent
+        # budget; warm carries start with it too but typically accept first
+        d_count0 = jnp.zeros((B,), jnp.int32)
+        rescue_chunk = 10  # 250 iters: past any warm-accept grace period
         carry = (
             x, z, y, rho, Minv0, conv0, conv_iter0, jnp.asarray(0, jnp.int32),
-            jnp.asarray(1, jnp.int32),
+            jnp.asarray(1, jnp.int32), d_count0,
         )
         out = lax.while_loop(cond, body, carry)
         x, z, y, rho, _, converged, conv_iter, it, n_fact = out[:9]

@@ -405,7 +405,7 @@ def mpc_cycle_batch(
     fz_min: float = 10.0,
     vel_filter_hz: float = 30.0,
     check_every: int = 25,
-    stall_tol: float = 0.05,
+    stall_tol: float = 0.02,
 ) -> tuple[EngineState, CycleLog]:
     """One MPC period for a scenario BATCH with the batch-global adaptive solver.
 

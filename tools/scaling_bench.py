@@ -22,10 +22,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batches", default="256,512,1024,2048")
+    ap.add_argument("--batches", default="256,512,1024,2048,4096,8192,10240")
     ap.add_argument("--iters", type=int, default=150)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="batch-global adaptive solver path (--iters = cap)")
     args = ap.parse_args()
 
     import jax
@@ -45,12 +47,6 @@ def main():
     contact = P.default_contact()
     sched = E.constant_schedule(vx=0.5)
 
-    def step(state):
-        s, _ = E.mpc_cycle(
-            dyn, gait, contact, sched, state, n=16, solver_iters=args.iters
-        )
-        return s
-
     base = E.init_state(dyn, n=16)
     base = base._replace(plant=P.init_plant(dyn, contact=contact))
 
@@ -63,7 +59,25 @@ def main():
                     q=sb.plant.q.at[:, 0].add(jnp.linspace(-0.02, 0.02, b))
                 )
             )
-            fn = jax.jit(jax.vmap(step))
+            if args.adaptive:
+                gait_b = E.broadcast_batch(gait, b)
+                contact_b = E.broadcast_batch(contact, b)
+                sched_b = E.broadcast_batch(sched, b)
+
+                def fn(state, gait_b=gait_b, contact_b=contact_b, sched_b=sched_b):
+                    s, _ = E.mpc_cycle_batch(
+                        dyn, gait_b, contact_b, sched_b, state,
+                        n=16, solver_iters=args.iters,
+                    )
+                    return s
+            else:
+                def step(state):
+                    s, _ = E.mpc_cycle(
+                        dyn, gait, contact, sched, state, n=16, solver_iters=args.iters
+                    )
+                    return s
+
+                fn = jax.jit(jax.vmap(step))
             sb = fn(sb)
             jax.block_until_ready(sb)
             best = float("inf")
