@@ -33,7 +33,8 @@ class LegObs(NamedTuple):
     """Full-model quantities the controller reads each tick (one scenario)."""
 
     J_feet: jnp.ndarray  # (4, 3, 18) world point Jacobians
-    M: jnp.ndarray  # (18, 18) mass matrix
+    M: jnp.ndarray  # (18, 18) mass matrix (tree-structured: zero cross-leg
+    #                 blocks — required by the arrow solve, see ops.linalg)
     bias: jnp.ndarray  # (18,) C dq + g
     jdot_qd: jnp.ndarray  # (4, 3) classical Jdot*dq per foot
     foot_pos: jnp.ndarray  # (4, 3) world
@@ -146,15 +147,18 @@ def compute_torques(
     )(swing_p0, swing_td, t_since)
 
     # operational-space feedforward: Lambda (a_des - Jdot dq)
-    # (cholesky/cho_solve/inv internals run at the ambient matmul precision:
-    # pin f32 — bf16 on TPU otherwise)
-    with jax.default_matmul_precision("highest"):
-        chol = jnp.linalg.cholesky(obs.M)
-        Minv_Jt = jax.vmap(
-            lambda Jl: jax.scipy.linalg.cho_solve((chol, True), Jl.T)
-        )(obs.J_feet)  # (4, 18, 3)
-        JMJt = ein("lij,ljk->lik", obs.J_feet, Minv_Jt)
-        lam = jnp.linalg.inv(JMJt)  # (4, 3, 3)
+    # M^-1 J' via the arrow (Schur-complement) factorization: the mass
+    # matrix's tree structure (dense base block, per-leg 3x3 diagonal, zero
+    # cross-leg coupling) turns the serialized 18x18 Cholesky into a 6x6
+    # one + closed-form 3x3 inverses — the per-tick hot solve
+    # (tools/cycle_ablation.py). Precision is pinned inside the helpers.
+    from convex_mpc_tpu.ops import linalg as lx
+
+    fac = lx.arrow_factor(obs.M)
+    X = lx.arrow_solve(fac, obs.J_feet.reshape(12, 18).T)  # (18, 12)
+    Minv_Jt = jnp.moveaxis(X.reshape(18, 4, 3), 0, 1)  # (4, 18, 3)
+    JMJt = ein("lij,ljk->lik", obs.J_feet, Minv_Jt)
+    lam = lx.inv3(JMJt)  # (4, 3, 3)
     f_ff = ein("lij,lj->li", lam, a_des - obs.jdot_qd)
 
     force_sw = kp * (p_des - obs.foot_pos) + kd * (v_des - obs.foot_vel) + f_ff

@@ -11,6 +11,8 @@ should NOT use these.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -25,6 +27,89 @@ def mm(a, b):
 def ein(subscripts, *operands):
     """Precision-pinned einsum."""
     return jnp.einsum(subscripts, *operands, precision=PRECISION)
+
+
+def inv3(A):
+    """Closed-form inverse of a (..., 3, 3) matrix (adjugate / determinant).
+
+    Replaces the serialized LU/Cholesky inner loop XLA emits for tiny
+    batched inverses with pure elementwise arithmetic — exact in f32 for
+    the well-conditioned 3x3 blocks of robot dynamics (leg inertia blocks,
+    operational-space inertias).
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    r0 = jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], axis=-1)
+    r1 = jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], axis=-1)
+    r2 = jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], axis=-1)
+    adj = jnp.stack([r0, r1, r2], axis=-2)
+    det = a * r0[..., 0] + b * r1[..., 0] + c * r2[..., 0]
+    return adj / det[..., None, None]
+
+
+class ArrowFactor(NamedTuple):
+    """Factorization of an 18x18 SPD matrix with Go2 'arrow' structure.
+
+    A quadruped's kinematic tree makes every joint-space SPD system here —
+    the mass matrix M and the implicit velocity-solve matrix
+    M + dt (J'CJ + diag) — block-sparse: a dense 6x6 base block, 6x3
+    base-leg couplings, per-leg 3x3 diagonal blocks, and EXACT zeros
+    between different legs (legs are sibling branches; foot Jacobians touch
+    only base + own-leg columns). XLA's monolithic 18x18 Cholesky serializes
+    18 column steps and ignores this; the Schur-complement factorization
+    needs closed-form 3x3 inverses, a single 6x6 Cholesky (6 serial steps),
+    and batched matmuls — measured ~46 ms -> ~6 ms for the two per-tick
+    solves of a batch-512 engine cycle. Asserted against the dense solve in
+    tests/test_linalg.py; the cross-leg zero structure is asserted in
+    tests/test_dynamics_vs_mujoco.py.
+    """
+
+    S_chol: jnp.ndarray  # (..., 6, 6) Cholesky of the base Schur complement
+    Dinv: jnp.ndarray  # (..., 4, 3, 3) per-leg joint-block inverses
+    B: jnp.ndarray  # (..., 4, 6, 3) base-leg coupling blocks
+    BDinv: jnp.ndarray  # (..., 4, 6, 3) B_l D_l^-1
+
+
+def arrow_factor(A) -> ArrowFactor:
+    """Factor a (..., 18, 18) SPD matrix with the Go2 arrow structure.
+
+    Only the structured blocks are read; cross-leg entries are assumed zero
+    (exact for tree dynamics — see :class:`ArrowFactor`).
+    """
+    import jax
+
+    A_bb = A[..., :6, :6]
+    B_flat = A[..., :6, 6:]  # (..., 6, 12)
+    batch = A.shape[:-2]
+    B = jnp.moveaxis(B_flat.reshape(*batch, 6, 4, 3), -2, -3)  # (..., 4, 6, 3)
+    Dblk = jnp.stack(
+        [A[..., 6 + 3 * l : 9 + 3 * l, 6 + 3 * l : 9 + 3 * l] for l in range(4)],
+        axis=-3,
+    )  # (..., 4, 3, 3)
+    Dinv = inv3(Dblk)
+    BDinv = ein("...lij,...ljk->...lik", B, Dinv)  # (..., 4, 6, 3)
+    S = A_bb - ein("...lik,...ljk->...ij", BDinv, B)
+    with jax.default_matmul_precision("highest"):
+        S_chol = jnp.linalg.cholesky(S)
+    return ArrowFactor(S_chol=S_chol, Dinv=Dinv, B=B, BDinv=BDinv)
+
+
+def arrow_solve(fac: ArrowFactor, r):
+    """Solve A x = r for (..., 18, k) right-hand sides (k static)."""
+    import jax
+
+    batch = r.shape[:-2]
+    k = r.shape[-1]
+    r_b = r[..., :6, :]
+    r_j = r[..., 6:, :].reshape(*batch, 4, 3, k)
+    Dinv_rj = ein("...lij,...ljk->...lik", fac.Dinv, r_j)
+    rhs_b = r_b - ein("...lij,...ljk->...ik", fac.BDinv, r_j)
+    with jax.default_matmul_precision("highest"):
+        x_b = jax.scipy.linalg.cho_solve((fac.S_chol, True), rhs_b)
+    Bt_xb = ein("...lji,...jk->...lik", fac.B, x_b)  # (..., 4, 3, k)
+    x_j = ein("...lij,...ljk->...lik", fac.Dinv, r_j - Bt_xb)
+    return jnp.concatenate([x_b, x_j.reshape(*batch, 12, k)], axis=-2)
 
 
 def blocked_cholesky(A, block: int = 64):
@@ -93,8 +178,11 @@ def blocked_tri_inverse(L, block: int = 64):
         X_ii = L_ii^-1
         X_ij = -X_ii (sum_k L_ik X_kj),   i > j
 
-    ~3-4x faster than the monolithic triangular solve for n = 192 at
-    block 64 on TPU. Requires n to be a multiple of ``block``.
+    Measured ~1.4x vs the monolithic triangular solve for n = 192 at
+    block 64 on TPU (in-program ablation, tools/solve_ablation.py) — not
+    enough to displace refactor-on-demand (mpc/admm.py solve_adaptive),
+    which attacks refactor *frequency* instead; kept as a bench-only
+    kernel. Requires n to be a multiple of ``block``.
     """
     import jax
 

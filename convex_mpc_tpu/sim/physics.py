@@ -194,10 +194,15 @@ def step(
     # joint viscous damping, implicit (added to the velocity-solve diagonal)
     jd = jnp.concatenate([jnp.zeros((6,), q.dtype), jnp.full((12,), contact.joint_damping, q.dtype)])
     A = M + dt * ein("lij,li,lik->jk", J, C, J) + dt * jnp.diag(jd)
-    # cholesky/cho_solve lower to internal matmuls at the ambient default
-    # precision (bf16 on TPU) — pin f32 for the velocity solve
-    with jax.default_matmul_precision("highest"):
-        dq_new = jax.scipy.linalg.cho_solve((jnp.linalg.cholesky(A), True), rhs)
+    # Arrow (Schur-complement) velocity solve: J'CJ preserves the mass
+    # matrix's tree sparsity exactly (foot Jacobians touch only base +
+    # own-leg columns), so A keeps zero cross-leg blocks and the 18x18
+    # Cholesky reduces to a 6x6 one + closed-form 3x3 inverses (the
+    # per-tick hot solve — tools/cycle_ablation.py). Precision is pinned
+    # inside the helpers (bf16 ambient default on TPU otherwise).
+    from convex_mpc_tpu.ops import linalg as lx
+
+    dq_new = lx.arrow_solve(lx.arrow_factor(A), rhs[:, None])[:, 0]
 
     # integrate q with the *new* velocity (semi-implicit)
     pos_new = q[0:3] + dt * ein("ij,j->i", base_R, dq_new[0:3])

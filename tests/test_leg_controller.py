@@ -18,6 +18,14 @@ def synthetic_obs(seed=0, foot_z=0.25):
     J = rng.normal(size=(4, 3, 18)) * 0.3
     A = rng.normal(size=(18, 18)) * 0.2
     M = A @ A.T + np.eye(18) * 2.0
+    # the controller's M^-1 J' solve exploits the quadruped tree structure
+    # (ops.linalg.arrow_factor): zero the cross-leg blocks so the synthetic
+    # M satisfies the same invariant the real mass matrix does (asserted in
+    # tests/test_linalg.py::test_tree_matrices_have_zero_cross_leg_blocks)
+    for l1 in range(4):
+        for l2 in range(4):
+            if l1 != l2:
+                M[6 + 3 * l1 : 9 + 3 * l1, 6 + 3 * l2 : 9 + 3 * l2] = 0.0
     bias = rng.normal(size=18)
     foot_pos = np.array(
         [[0.19, 0.14, foot_z], [0.19, -0.14, foot_z], [-0.19, 0.14, foot_z], [-0.19, -0.14, foot_z]]

@@ -28,6 +28,14 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--adaptive", action="store_true",
                     help="batch-global adaptive solver path (--iters = cap)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="host-chunk batches larger than this into sequential "
+                         "sub-batch programs of this size (one compile, reused). "
+                         "This is the pod mapping run on one chip: each chip of "
+                         "an N-chip mesh owns one such shard; the tunnel's "
+                         "remote-compile helper dies on single programs at "
+                         "batch >= 8192, so >=10k concurrency on one chip is "
+                         "demonstrated this way.")
     args = ap.parse_args()
 
     import jax
@@ -50,9 +58,55 @@ def main():
     base = E.init_state(dyn, n=16)
     base = base._replace(plant=P.init_plant(dyn, contact=contact))
 
+    def chunked_run(b, c):
+        """b scenarios as b//c sequential sub-batch programs of size c."""
+        n_sub = b // c
+        gait_b = E.broadcast_batch(gait, c)
+        contact_b = E.broadcast_batch(contact, c)
+        sched_b = E.broadcast_batch(sched, c)
+
+        def fn(state):
+            s, _ = E.mpc_cycle_batch(
+                dyn, gait_b, contact_b, sched_b, state, n=16,
+                solver_iters=args.iters,
+            )
+            return s
+
+        subs = []
+        for k in range(n_sub):
+            sb = jax.tree.map(lambda x: jnp.broadcast_to(x, (c,) + x.shape).copy(), base)
+            sb = sb._replace(
+                plant=sb.plant._replace(
+                    q=sb.plant.q.at[:, 0].add(
+                        jnp.linspace(-0.02, 0.02, c) + 0.001 * k
+                    )
+                )
+            )
+            subs.append(fn(sb))  # compile once (k=0), then reuse
+        jax.block_until_ready(subs)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                subs = [fn(s) for s in subs]
+            jax.block_until_ready(subs)
+            best = min(best, (time.perf_counter() - t0) / args.reps)
+        z = np.concatenate([np.asarray(s.plant.q[:, 2]) for s in subs])
+        healthy = bool(np.isfinite(z).all() and (z > 0.1).all())
+        return dict(batch=b, ms_per_cycle=round(best * 1e3, 1),
+                    solves_per_s=round(b / best, 1), healthy=healthy,
+                    host_chunk=c, n_programs=n_sub)
+
     results = []
     for b in [int(x) for x in args.batches.split(",")]:
         try:
+            if args.chunk and b > args.chunk:
+                if b % args.chunk:
+                    print(json.dumps(dict(batch=b, error="not divisible by --chunk")))
+                    continue
+                results.append(chunked_run(b, args.chunk))
+                print(json.dumps(results[-1]))
+                continue
             sb = jax.tree.map(lambda x: jnp.broadcast_to(x, (b,) + x.shape).copy(), base)
             sb = sb._replace(
                 plant=sb.plant._replace(
