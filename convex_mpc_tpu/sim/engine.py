@@ -384,7 +384,7 @@ def _run_ticks(
     jax.jit,
     static_argnames=(
         "n", "steps_per_mpc", "solver_iters", "tau_max", "mpc_dt", "sim_dt",
-        "check_every", "stall_tol",
+        "check_every", "stall_tol", "polish",
     ),
 )
 def mpc_cycle_batch(
@@ -406,6 +406,7 @@ def mpc_cycle_batch(
     vel_filter_hz: float = 30.0,
     check_every: int = 25,
     stall_tol: float = 0.02,
+    polish: bool = True,
 ) -> tuple[EngineState, CycleLog]:
     """One MPC period for a scenario BATCH with the batch-global adaptive solver.
 
@@ -438,7 +439,7 @@ def mpc_cycle_batch(
 
     sol = admm.solve_adaptive(
         data_b, state.solver, max_iter=solver_iters, check_every=check_every,
-        box_tail=n * 12, stall_tol=stall_tol,
+        box_tail=n * 12, stall_tol=stall_tol, polish=polish,
     )
     u0_b = sol.x[:, 0:12].reshape(-1, 4, 3)
 

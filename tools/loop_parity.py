@@ -19,6 +19,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
 
 
+def _oracle_solve(d):
+    """Worker: f64 native oracle solve of one captured QP -> first forces."""
+    from convex_mpc_tpu.utils.native_oracle import solve_qp_native
+
+    x64, _, info = solve_qp_native(d["P"], d["q"], d["A"], d["l"], d["u"], max_iter=8000)
+    if info["kkt"] > 1e-6:
+        x64, _, info = solve_qp_native(d["P"], d["q"], d["A"], d["l"], d["u"], max_iter=60000)
+    return x64[192:204]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=3.0)
@@ -29,6 +39,8 @@ def main():
     ap.add_argument("--adaptive", action="store_true",
                     help="use the adaptive solver path (mpc_cycle_batch, "
                          "B=1); --solver-iters becomes the escalation cap")
+    ap.add_argument("--stall-tol", type=float, default=0.02)
+    ap.add_argument("--no-polish", action="store_true")
     ap.add_argument("--schedule", default="const", choices=["const", "ref"],
                     help="'ref' = the full 10s reference command schedule")
     args = ap.parse_args()
@@ -68,9 +80,13 @@ def main():
 
     import qp_oracle as oracle
 
-    # one mpc_cycle advances steps_per_mpc*sim_dt = 20 ms -> 50 cycles/s
-    n_cycles = int(round(args.seconds * 50))
-    errs, fzs, iters = [], [], []
+    # Phase 1: run the closed loop, capturing each cycle's exact QP instance
+    # and the engine's applied force. Phase 2: solve all captured QPs with
+    # the independent native f64 oracle in a worker pool — the oracle
+    # solves (up to 60k f64 ADMM iterations each) dominate wall time and
+    # are embarrassingly parallel once decoupled from the sequential loop.
+    n_cycles = int(round(args.seconds * 50))  # one cycle = 20 ms sim
+    qps, u0s, iters = [], [], []
     for cyc in range(n_cycles):
         if args.adaptive:
             state = jax.tree.map(lambda a: a[0], state_b)
@@ -89,16 +105,14 @@ def main():
             np.asarray(traj.dyn.gd, float), x0_s, x_ref_s,
             np.asarray(traj.contact), Q, 1e-5, 0.8, 10.0,
         )
-        x64, _, info = solve_qp_native(d["P"], d["q"], d["A"], d["l"], d["u"], max_iter=8000)
-        if info["kkt"] > 1e-6:
-            x64, _, info = solve_qp_native(d["P"], d["q"], d["A"], d["l"], d["u"], max_iter=60000)
-        u_ref0 = x64[192:204]
+        qps.append(d)
 
         # step the engine (its own solve, warm-started)
         if args.adaptive:
             state_b, log = E.mpc_cycle_batch(
                 dyn, gait_b, contact_b, sched_b, state_b,
-                solver_iters=args.solver_iters,
+                solver_iters=args.solver_iters, stall_tol=args.stall_tol,
+                polish=not args.no_polish,
             )
             state = jax.tree.map(lambda a: a[0], state_b)
             iters.append(int(log.solver_iters[0]))
@@ -107,7 +121,17 @@ def main():
                 dyn, gait, contact, sched, state, solver_iters=args.solver_iters
             )
             iters.append(int(log.solver_iters))
-        u0 = np.asarray(state.u0, float).reshape(12)
+        u0s.append(np.asarray(state.u0, float).reshape(12))
+        if (cyc + 1) % 100 == 0:
+            print(f"  loop: {cyc + 1}/{n_cycles} cycles", flush=True)
+
+    import multiprocessing as mp
+
+    with mp.Pool(min(4, mp.cpu_count())) as pool:
+        refs = pool.map(_oracle_solve, qps, chunksize=8)
+
+    errs, fzs = [], []
+    for u0, u_ref0 in zip(u0s, refs):
         scale = max(np.abs(u_ref0).max(), 1.0)
         errs.append(np.abs(u0 - u_ref0).max() / scale)
         fzs.append(u_ref0[2::3].sum())
@@ -125,6 +149,12 @@ def main():
           f"max {it.max()}")
     n_over = int((errs > 2.0).sum())
     print(f"over 2% budget: {n_over}/{n_cycles} cycles")
+    if n_over:
+        worst = np.argsort(errs)[::-1][:12]
+        for w in sorted(worst):
+            if errs[w] > 2.0:
+                print(f"  cycle {w:4d} t={w * 0.02:5.2f}s  err {errs[w]:6.2f}%  "
+                      f"iters {iters[w]}  sum_fz_ref {fzs[w]:7.1f} N")
     # adaptive path (iteration escalation) must leave ZERO cycles over budget;
     # the fixed path tolerates up to 2% of cycles (documented round-1 gap)
     ok = n_over == 0 if args.adaptive else (errs > 2.0).mean() < 0.02
