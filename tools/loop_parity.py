@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--no-polish", action="store_true")
     ap.add_argument("--schedule", default="const", choices=["const", "ref"],
                     help="'ref' = the full 10s reference command schedule")
+    ap.add_argument("--save", default="",
+                    help="save per-cycle QPs + engine/oracle solutions to "
+                         "this .npz for offline failure analysis")
+    ap.add_argument("--tuned", action="store_true",
+                    help="tuned cost profile (Q_vy=8) — the recommended "
+                         "robust configuration for the full schedule")
     args = ap.parse_args()
 
     import jax
@@ -61,7 +67,8 @@ def main():
     from convex_mpc_tpu.sim import physics as P
     from convex_mpc_tpu.utils.native_oracle import solve_qp_native
 
-    Q = np.array([1, 1, 50, 10, 20, 1, 2, 2, 1, 1, 1, 1], float)
+    Q = np.array([1, 1, 50, 10, 20, 1, 2, 8 if args.tuned else 2,
+                  1, 1, 1, 1], float)
     dyn = D.build_dyn()
     gait = G.make_gait_params(3.0, 0.6)
     contact = P.default_contact()
@@ -86,8 +93,13 @@ def main():
     # solves (up to 60k f64 ADMM iterations each) dominate wall time and
     # are embarrassingly parallel once decoupled from the sequential loop.
     n_cycles = int(round(args.seconds * 50))  # one cycle = 20 ms sim
-    qps, u0s, iters = [], [], []
+    qps, u0s, iters, heights, warms = [], [], [], [], []
     for cyc in range(n_cycles):
+        if args.save:
+            # warm-start state ENTERING this cycle's solve, so any flagged
+            # accept can be reproduced offline bit-for-bit
+            sv = state_b.solver if args.adaptive else state.solver
+            warms.append(jax.tree.map(lambda a: np.asarray(a, np.float32), sv))
         if args.adaptive:
             state = jax.tree.map(lambda a: a[0], state_b)
         # capture the exact QP the engine will solve this cycle
@@ -112,18 +124,21 @@ def main():
             state_b, log = E.mpc_cycle_batch(
                 dyn, gait_b, contact_b, sched_b, state_b,
                 solver_iters=args.solver_iters, stall_tol=args.stall_tol,
-                polish=not args.no_polish,
+                polish=not args.no_polish, q_diag=tuple(Q),
             )
             state = jax.tree.map(lambda a: a[0], state_b)
             iters.append(int(log.solver_iters[0]))
         else:
             state, log = E.mpc_cycle(
-                dyn, gait, contact, sched, state, solver_iters=args.solver_iters
+                dyn, gait, contact, sched, state,
+                solver_iters=args.solver_iters, q_diag=tuple(Q),
             )
             iters.append(int(log.solver_iters))
         u0s.append(np.asarray(state.u0, float).reshape(12))
+        heights.append(float(state.plant.q[2]))
         if (cyc + 1) % 100 == 0:
-            print(f"  loop: {cyc + 1}/{n_cycles} cycles", flush=True)
+            print(f"  loop: {cyc + 1}/{n_cycles} cycles  z={heights[-1]:.3f}",
+                  flush=True)
 
     import multiprocessing as mp
 
@@ -138,6 +153,24 @@ def main():
 
     errs = np.asarray(errs) * 100
     it = np.asarray(iters)
+    hz = np.asarray(heights)
+    if args.save:
+        # full QPs only for the interesting (>=1% error) cycles — the whole
+        # run's QPs would be a ~400 MB artifact
+        bad = np.where(errs >= 1.0)[0][:64]
+        payload = dict(errs=errs, iters=it, heights=hz,
+                       u0=np.stack(u0s), u_ref=np.stack(refs), bad_idx=bad)
+        for name in ("P", "q", "A", "l", "u"):
+            payload[f"bad_{name}"] = np.stack([qps[i][name] for i in bad]) \
+                if len(bad) else np.zeros((0,))
+        for fld in ("x", "z", "y", "rho"):
+            payload[f"bad_warm_{fld}"] = np.stack(
+                [np.asarray(getattr(warms[i], fld)) for i in bad]
+            ) if len(bad) else np.zeros((0,))
+        np.savez_compressed(args.save, **payload)
+        print(f"saved run + {len(bad)} flagged QPs to {args.save}")
+    print(f"height: min {hz.min():.3f}  final {hz[-1]:.3f}  "
+          f"(fell: {bool(hz.min() < 0.12)})")
     cmd_desc = "ref schedule" if args.schedule == "ref" else f"vx={args.vx} wz={args.wz}"
     print(f"cycles: {n_cycles}  ({cmd_desc}  "
           f"{'adaptive' if args.adaptive else 'fixed'} solver)")
