@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BATCH = 512
-MAX_ITER = 600  # adaptive escalation cap (certified: completes the schedule)
+MAX_ITER = 1000  # adaptive escalation cap (certified: completes the schedule)
 WINDOWS = 3
 CYCLES_PER_WINDOW = 5
 

@@ -35,6 +35,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from convex_mpc_tpu.mpc.qp import QpData
@@ -593,32 +594,43 @@ def solve_adaptive(
         max_adapts = 3
 
         def attempt_polish(x, z, y, rho, Minv):
-            """Certified accept: solve the dual-identified active set exactly.
+            """Certified accept: snap the iterate onto the identified active set.
 
             The QP's force directions are nearly flat (R = 1e-5 vs Q ~
             1-50), so ADMM residual criteria admit iterates several % from
             the optimum in those directions (gradient ~ curvature x error —
             both tiny); mask-edge warm starts were measured accepting 2-7%
-            off (tools/loop_parity.py). Instead of crawling flat directions
-            with hundreds more iterations, solve them exactly, OSQP-polish
-            style: identify active rows from THRESHOLDED dual signs
-            (complementary slackness), enforce them with a large quadratic
-            weight, solve the SPD system, then run ONE active-set
-            refinement round (add rows the polished point violates, drop
-            rows whose implied multiplier has the wrong sign). Measured on
-            mask-edge warm cycles: 0.64% after round 0, 0.03% after the
-            refinement round, from 50-iteration iterates.
+            off (tools/loop_parity.py). OSQP-style: identify active rows
+            from THRESHOLDED dual signs (complementary slackness), then
+            solve the active-set subproblem exactly and certify.
 
-            The polish system is solved in the RAW (unscaled) problem — in
-            Ruiz-scaled space the flat-direction curvature shrinks to
-            ~5e-8 where the solver's sigma = 1e-6 regularization dominates
-            it and biases flat components toward zero (measured 3% force
-            error); raw flat curvature is 2R = 2e-5 and needs no sigma.
-            f32 conditioning is handled by Jacobi (symmetric diagonal)
-            scaling plus a 1e-6 ridge that is *relative* to each
-            direction's own curvature. Safeguards per scenario: a
-            still-infeasible or objective-raising polish is rejected and
-            the caller keeps iterating that scenario. The reference runs
+            TPU-native structure exploited throughout: every constraint of
+            the condensed QP is local to one (step, leg) 3-vector block —
+            4 friction-pyramid rows with closed-form entries (qp.py
+            _friction_face_matrix) plus per-variable box rows — so the
+            active-set geometry decomposes into B x (n*4) independent 3-D
+            blocks: a batched 3x3 eigendecomposition per block yields the
+            exact null basis and minimum-norm particular solution of the
+            active rows.
+
+            The polish point is the PROJECTION of the iterate onto the
+            active-set affine manifold: x_pol = x_p + N N' (x_it - x_p).
+            Active rows then hold EXACTLY (block-local arithmetic on O(1)
+            entries — no penalty, no P + w A'A absorption: an earlier
+            penalized solve at w = 1e4 lost the flat R-curvature to f32
+            absorption, 1e4*eps ~ 1e-3 of entry noise against 2e-5 of
+            curvature, and landed whole Newtons off with every gate
+            passing); the null-space components are inherited from the
+            converged iterate, whose hundreds of contracting f32 ADMM
+            steps place the flat directions more accurately than any
+            single f32 solve of a dense 192x192 system can.
+
+            Certification per scenario (all static, no reference point):
+            inactive-row feasibility; block least-squares duals must
+            support the gradient (stationarity residual) with
+            complementarity-consistent signs; objective not above the
+            iterate's. Failed scenarios keep iterating — identification is
+            what they lack, and it needs iterations. The reference runs
             OSQP with polish disabled (centroidal_mpc.py:20-38); this
             recovers the capability at batch scale.
             """
@@ -628,11 +640,17 @@ def solve_adaptive(
             y_tol = 1e-3 * jnp.max(jnp.abs(y_raw), axis=-1, keepdims=True)
             act_lo = fin_l & (is_eq | (y_raw < -y_tol))
             act_hi = fin_u & (~act_lo) & (y_raw > y_tol)
-            w_pol = jnp.asarray(1e4, dtype)
             A_fr_raw = qp.A[:, :m_fr, :]
             box_diag_raw = jnp.diagonal(qp.A[:, m_fr:, :], axis1=-2, axis2=-1)
             l_raw = qp.l
             u_raw = qp.u
+            nb = nz // 3
+            assert m_fr == 4 * nb, "condensed layout: 4 pyramid rows per block"
+            face_rows = jnp.asarray(np.arange(m_fr).reshape(nb, 4))
+            blk_cols = jnp.asarray(np.arange(nz).reshape(nb, 3))
+            # block-local pyramid coefficients (exact +-1 / -mu entries)
+            C_coef = A_fr_raw[:, face_rows[:, :, None], blk_cols[:, None, :]]
+            eye3 = jnp.eye(3, dtype=dtype)
 
             def ax_raw(xc):
                 return jnp.concatenate(
@@ -644,52 +662,6 @@ def solve_adaptive(
                     ],
                     axis=-1,
                 )
-
-            def polish_once(a_lo, a_hi):
-                act = a_lo | a_hi
-                b_act = jnp.where(a_lo, l_raw, jnp.where(a_hi, u_raw, 0.0))
-                Wp = jnp.where(act, w_pol, 0.0)
-                Wp_fr, Wp_box = Wp[:, :m_fr], Wp[:, m_fr:]
-                K_pol = jnp.matmul(
-                    jnp.swapaxes(A_fr_raw, -1, -2),
-                    A_fr_raw * Wp_fr[:, :, None],
-                    precision=setup_precision,
-                )
-                M_pol = (
-                    qp.p_dense
-                    + K_pol
-                    + (Wp_box * box_diag_raw * box_diag_raw)[:, :, None] * eye
-                )
-                rhs_pol = (
-                    -qp.q
-                    + jnp.einsum(
-                        "bnm,bn->bm", A_fr_raw, (Wp_fr * b_act[:, :m_fr]),
-                        precision=_PRECISION,
-                    )
-                    + box_diag_raw * Wp_box * b_act[:, m_fr:]
-                )
-                dj = jnp.sqrt(jnp.diagonal(M_pol, axis1=-2, axis2=-1))
-                Mn = M_pol / (dj[:, :, None] * dj[:, None, :]) + 1e-6 * eye
-                L_pol = jnp.linalg.cholesky(Mn)
-                rhs_n = (rhs_pol / dj)[..., None]
-                x_pol = lax.linalg.triangular_solve(
-                    L_pol,
-                    lax.linalg.triangular_solve(
-                        L_pol, rhs_n, left_side=True, lower=True
-                    ),
-                    left_side=True, lower=True, transpose_a=True,
-                )[..., 0] / dj
-                return x_pol, b_act
-
-            x1, b1 = polish_once(act_lo, act_hi)
-            ax1 = ax_raw(x1)
-            add_lo = fin_l & (l_raw - ax1 > 1e-6)
-            add_hi = fin_u & (ax1 - u_raw > 1e-6)
-            y_imp = w_pol * (ax1 - b1) * (act_lo | act_hi)
-            drop = (act_lo & ~is_eq & (y_imp > 0)) | (act_hi & (y_imp < 0))
-            act_lo2 = (act_lo | add_lo) & ~drop
-            act_hi2 = ((act_hi | add_hi) & ~drop) & ~act_lo2
-            x_pol_raw, _ = polish_once(act_lo2, act_hi2)
 
             def viol(xc_raw):
                 v = jnp.maximum(l_raw - ax_raw(xc_raw), ax_raw(xc_raw) - u_raw)
@@ -703,33 +675,160 @@ def solve_adaptive(
 
             x_it_raw = s.d * x
             o_x = obj(x_it_raw)
-            ok_pol = (viol(x_pol_raw) <= viol(x_it_raw) + eps_abs) & (
-                obj(x_pol_raw) <= o_x + 1e-3 * jnp.abs(o_x) + 1e-6
-            )
-            # a NaN-ed polish (pathological conditioning) must never win
-            ok_pol = ok_pol & jnp.isfinite(x_pol_raw).all(-1)
+            v_x = viol(x_it_raw)
+            big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
-            # Dynamical certification: run one ADMM chunk FROM the polished
-            # point. A correct polish is a near-fixed-point of the ADMM map
-            # (moves < stall_tol N like a converged iterate); a feasible-
-            # but-wrong one (mis-identified set from a poor startup
-            # iterate — its gates compare against that same poor iterate,
-            # so they cannot catch it) gets pulled multiple N toward the
-            # optimum. Costs one chunk of iterations per attempt.
-            x_v = x_pol_raw / s.d
-            z_v = jnp.clip(mv_A(x_v), s.l, s.u)
-            x_vc, z_vc, y_vc = chunk_iters(x_v, z_v, y, rho, Minv)
-            move_v = jnp.max(jnp.abs(s.d * (x_vc - x_v)), axis=-1)
-            ok_pol = ok_pol & (move_v <= jnp.maximum(4 * stall_tol, 0.05))
+            def polish_once(a_lo, a_hi):
+                """Project the iterate onto the active manifold; LS duals.
+
+                Returns (x_pol, y_rows, stat_res): the snapped point, the
+                per-row least-squares multipliers of the active rows, and
+                the per-scenario stationarity-support residual
+                max_blocks |C' y - (-(P x + q))|  — the part of the
+                gradient the active rows cannot support. A correct set
+                supports the gradient up to matvec noise; a set that pins
+                a stiff direction wrongly (or misses an active row) leaves
+                an O(curvature x displacement) unsupported component.
+                """
+                t_all = jnp.where(a_lo, l_raw, jnp.where(a_hi, u_raw, 0.0))
+                m_face = (a_lo | a_hi)[:, :m_fr][:, face_rows]
+                t_face = t_all[:, :m_fr][:, face_rows] * m_face
+                m_pin = (a_lo | a_hi)[:, m_fr:][:, blk_cols]
+                t_pin = t_all[:, m_fr:][:, blk_cols] * m_pin
+                coef_pin = box_diag_raw[:, blk_cols]
+                C = jnp.concatenate(
+                    [
+                        C_coef * m_face[..., None],
+                        eye3 * (coef_pin * m_pin)[..., :, None],
+                    ],
+                    axis=2,
+                )  # (B, nb, 7, 3)
+                b7 = jnp.concatenate([t_face, t_pin], axis=2)  # (B, nb, 7)
+                # One batched 7x7 factorization per block serves all three
+                # uses: minimum-norm particular solution, null-space
+                # projector, and the least-squares multipliers. (A 3x3
+                # eigendecomposition formulation is mathematically cleaner
+                # but jnp.linalg.eigh lowers to an iterative algorithm that
+                # is catastrophically slow for 32k tiny matrices on TPU.)
+                CC = jnp.einsum("bnkr,bnlr->bnkl", C, C, precision=_PRECISION)
+                ridge = 1e-7 * jnp.maximum(
+                    jnp.einsum("bnkk->bn", CC)[..., None, None], 1e-2
+                )
+                CCi = jnp.linalg.inv(CC + ridge * jnp.eye(7, dtype=dtype))
+
+                def cc_solve(v):  # (B, nb, 7) -> (B, nb, 7)
+                    return jnp.einsum("bnkl,bnl->bnk", CCi, v)
+
+                # min-norm particular solution x_p = C'(CC')^+ b
+                x_p_b = jnp.einsum("bnkr,bnk->bnr", C, cc_solve(b7))
+                x_p = x_p_b.reshape(B, nz)
+                # orthogonal projector onto the active rows' null space,
+                # per block: Pi = I - C'(CC')^+ C  (B, nb, 3, 3)
+                Pi_b = eye3 - jnp.einsum(
+                    "bnkr,bnkl,bnls->bnrs", C, CCi, C, precision=_PRECISION
+                )
+                Pi = jnp.zeros((B, nz, nz), dtype).at[
+                    :, blk_cols[:, :, None], blk_cols[:, None, :]
+                ].set(Pi_b)
+                # reduced problem over the null space: x = x_p + Pi w with
+                # (Pi P Pi + (I - Pi)) d = -Pi (q + P x_p). H carries the
+                # objective's own curvature only — no penalty term, so the
+                # flat R-scale curvature survives f32 formation (an earlier
+                # P + w A'A penalty solve lost it to absorption); Jacobi
+                # scaling then normalizes the stiff/flat disparity for the
+                # f32 Cholesky. (I - Pi) fills the complement with identity.
+                PPi = jnp.matmul(qp.p_dense, Pi, precision=setup_precision)
+                H = jnp.matmul(Pi, PPi, precision=setup_precision) + (eye - Pi)
+                rhs_r = -jnp.einsum(
+                    "bnm,bn->bm", Pi,
+                    qp.q + jnp.einsum(
+                        "bnm,bm->bn", qp.p_dense, x_p, precision=_PRECISION
+                    ),
+                    precision=_PRECISION,
+                )
+                djr = jnp.sqrt(jnp.maximum(
+                    jnp.diagonal(H, axis1=-2, axis2=-1), 1e-30
+                ))
+                Hn = H / (djr[:, :, None] * djr[:, None, :]) + 1e-6 * eye
+                Lr = jnp.linalg.cholesky(Hn)
+                zr = lax.linalg.triangular_solve(
+                    Lr,
+                    lax.linalg.triangular_solve(
+                        Lr, (rhs_r / djr)[..., None],
+                        left_side=True, lower=True,
+                    ),
+                    left_side=True, lower=True, transpose_a=True,
+                )[..., 0] / djr
+                x_pol = x_p + jnp.einsum(
+                    "bmn,bn->bm", Pi, zr, precision=_PRECISION
+                )
+                # block least-squares multipliers of the active rows
+                g_b = -(
+                    jnp.einsum(
+                        "bnm,bm->bn", qp.p_dense, x_pol, precision=_PRECISION
+                    )
+                    + qp.q
+                ).reshape(B, nb, 3)
+                y7 = cc_solve(jnp.einsum("bnkr,bnr->bnk", C, g_b))
+                stat = jnp.einsum("bnkr,bnk->bnr", C, y7) - g_b
+                stat_res = jnp.max(jnp.abs(stat), axis=(-2, -1))
+                y_rows = jnp.concatenate(
+                    [y7[..., :4].reshape(B, m_fr), y7[..., 4:].reshape(B, nz)],
+                    axis=-1,
+                ) * (a_lo | a_hi)
+                return x_pol, y_rows, stat_res
+
+            def refine(a_lo, a_hi, x_r, y_r):
+                """Add violated rows, drop wrong-sign-multiplier rows."""
+                ax_r = ax_raw(x_r)
+                add_lo = fin_l & (l_raw - ax_r > 1e-6)
+                add_hi = fin_u & (ax_r - u_raw > 1e-6)
+                ysc = 1e-3 * jnp.maximum(
+                    jnp.max(jnp.abs(y_r), -1, keepdims=True), 1.0
+                )
+                drop = (a_lo & ~is_eq & (y_r > ysc)) | (a_hi & (y_r < -ysc))
+                n_lo = (a_lo | add_lo) & ~drop
+                n_hi = ((a_hi | add_hi) & ~drop) & ~n_lo
+                return n_lo, n_hi
+
+            def certify(a_lo, a_hi, x_c, y_c, stat_c):
+                feas = (viol(x_c) <= v_x + eps_abs) & jnp.isfinite(x_c).all(-1)
+                ysc = 1e-3 * jnp.maximum(
+                    jnp.max(jnp.abs(y_c), -1, keepdims=True), 1.0
+                )
+                sign_ok = jnp.where(
+                    a_lo & ~is_eq, y_c <= ysc,
+                    jnp.where(a_hi, y_c >= -ysc, True),
+                ).all(-1)
+                # unsupported-gradient tolerance: generous vs the f32 P
+                # matvec noise floor (~1e-3), sharp vs a mis-pinned stiff
+                # direction (curvature x Newtons ~ 0.1-10)
+                stat_ok = stat_c <= 0.05 * jnp.maximum(
+                    1.0, jnp.max(jnp.abs(qp.q), -1)
+                )
+                o_ok = obj(x_c) <= o_x + 1e-3 * jnp.abs(o_x) + 1e-6
+                return feas & sign_ok & stat_ok & o_ok
+
+            a_lo, a_hi = act_lo, act_hi
+            x_pol_raw = jnp.zeros_like(x_it_raw)
+            best_obj = jnp.full((B,), big, dtype)
+            ok_pol = jnp.zeros((B,), bool)
+            for _ in range(3):  # static refinement rounds
+                x_k, y_k, st_k = polish_once(a_lo, a_hi)
+                ok_k = certify(a_lo, a_hi, x_k, y_k, st_k)
+                o_k = jnp.where(ok_k, obj(x_k), big)
+                take = o_k < best_obj
+                x_pol_raw = jnp.where(take[:, None], x_k, x_pol_raw)
+                best_obj = jnp.minimum(o_k, best_obj)
+                ok_pol = ok_pol | ok_k
+                a_lo, a_hi = refine(a_lo, a_hi, x_k, y_k)
             if debug:
                 jax.debug.print(
-                    "polish: n_act={na}->{nb} (+{ad} -{dr}) viol x={vx} "
-                    "pol={vp} obj x={ox} pol={op} ok={ok}",
-                    na=(act_lo | act_hi).sum(-1),
-                    nb=(act_lo2 | act_hi2).sum(-1),
-                    ad=(add_lo | add_hi).sum(-1), dr=drop.sum(-1),
-                    vx=viol(x_it_raw), vp=viol(x_pol_raw),
-                    ox=o_x, op=obj(x_pol_raw), ok=ok_pol,
+                    "polish: n_act {na}->{nb} viol x={vx} pol={vp} "
+                    "obj x={ox} pol={op} ok={ok}",
+                    na=(act_lo | act_hi).sum(-1), nb=(a_lo | a_hi).sum(-1),
+                    vx=v_x, vp=viol(x_pol_raw), ox=o_x, op=best_obj,
+                    ok=ok_pol,
                 )
             # buffer carries the SCALED-space point (selected pre-unscale)
             x_pol = x_pol_raw / s.d
@@ -775,6 +874,19 @@ def solve_adaptive(
                     it=it, rho=rho, pr=pr, dr=dr, st=step,
                 )
             newly = (rho_ok & (pr <= 1.0) & (dr <= 1.0)) | stalled
+            if polish:
+                # With the certified polish as the acceptance authority, a
+                # full residual pass (pr AND dr) may PROPOSE at any rho: the
+                # flat-direction trap the rho gate guards against (OSQP
+                # criterion firing ~2% off when rho is above the attractor)
+                # is caught by the polish certificate, and the gate
+                # otherwise blocks legitimately-converged points forever —
+                # a post-rescue solve converged at rho = 0.1 was measured
+                # to sit at dr = 0.05 for 14 chunks and cap out at 600
+                # iterations, blocked by the rho gate alone. The stall exit
+                # keeps its gates: its weaker evidence (step-size) leans on
+                # rho being in the accurate regime.
+                newly = newly | ((pr <= 1.0) & (dr <= 1.0))
             iters_done = (it + 1) * check_every
             conv_iter = jnp.where(newly & (conv_iter < 0), iters_done, conv_iter)
             converged = converged | newly
@@ -795,6 +907,11 @@ def solve_adaptive(
                 converged = converged & jnp.where(
                     want_pol & ~at_cap, pol_ok, True
                 )
+                # a rejected polish un-converges the scenario: clear its
+                # provisional conv_iter so reported iteration counts are
+                # certified accepts, not first proposals (a cap-out then
+                # reports max_iter, not the chunk of its earliest proposal)
+                conv_iter = jnp.where(converged, conv_iter, -1)
             # descend at the 100-iteration boundaries only, at most
             # max_adapts times: 0.1 * (0.1)^3 bounds the walk at 1e-4 (the
             # measured dr(rho) optimum) — no overshoot is possible, so no

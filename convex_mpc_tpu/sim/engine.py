@@ -395,7 +395,7 @@ def mpc_cycle_batch(
     state: EngineState,
     n: int = 16,
     steps_per_mpc: int = 20,
-    solver_iters: int = 600,
+    solver_iters: int = 1000,
     tau_max: float = 45.0,
     mpc_dt: float = (1.0 / 3.0) / 16,
     sim_dt: float = 1e-3,
