@@ -50,8 +50,10 @@ def main():
     from convex_mpc_tpu.sim import engine as E
     from convex_mpc_tpu.sim.mujoco_bridge import MujocoGo2
 
+    from convex_mpc_tpu.utils.config import DEFAULT_CONFIG, TUNED_CONFIG
+
     Q_DIAG = jnp.asarray(
-        [1, 1, 50, 10, 20, 1, 2, 8 if args.tuned else 2, 1, 1, 1, 1], jnp.float32
+        (TUNED_CONFIG if args.tuned else DEFAULT_CONFIG).mpc.q_diag, jnp.float32
     )
     dyn = D.build_dyn()
     gait = G.make_gait_params(3.0, 0.6)

@@ -76,8 +76,9 @@ def main():
     print(f"[demo] backend={jax.default_backend()}  simulating {args.seconds:.1f}s "
           f"({n_cycles} MPC cycles) ...")
     t0 = time.perf_counter()
-    q_diag = (1, 1, 50, 10, 20, 1, 2, 8, 1, 1, 1, 1) if args.tuned else (
-        1, 1, 50, 10, 20, 1, 2, 2, 1, 1, 1, 1)
+    from convex_mpc_tpu.utils.config import DEFAULT_CONFIG, TUNED_CONFIG
+
+    q_diag = (TUNED_CONFIG if args.tuned else DEFAULT_CONFIG).mpc.q_diag
     if args.adaptive:
         # batched engine at B=1: batch-global adaptive solver with early
         # exit; chunk the scan at the host to keep device programs short

@@ -122,7 +122,9 @@ def test_full_schedule_on_tpu_plant_adaptive(dyn):
     state = E.init_state(dyn, n=16)
     state = state._replace(plant=P.init_plant(dyn, contact=contact))
     state_b = E.broadcast_batch(state, 1)
-    qd = (1, 1, 50, 10, 20, 1, 2, 8, 1, 1, 1, 1)  # tuned profile
+    from convex_mpc_tpu.utils.config import TUNED_CONFIG
+
+    qd = TUNED_CONFIG.mpc.q_diag  # tuned profile
     xs = []
     for _ in range(10):  # 10 x 50 cycles = 10 s, chunked
         state_b, logs = E.simulate_batched(

@@ -67,8 +67,10 @@ def main():
     from convex_mpc_tpu.sim import physics as P
     from convex_mpc_tpu.utils.native_oracle import solve_qp_native
 
-    Q = np.array([1, 1, 50, 10, 20, 1, 2, 8 if args.tuned else 2,
-                  1, 1, 1, 1], float)
+    from convex_mpc_tpu.utils.config import DEFAULT_CONFIG, TUNED_CONFIG
+
+    Q = np.array((TUNED_CONFIG if args.tuned else DEFAULT_CONFIG).mpc.q_diag,
+                 float)
     dyn = D.build_dyn()
     gait = G.make_gait_params(3.0, 0.6)
     contact = P.default_contact()
