@@ -6,9 +6,9 @@ solves/s/chip — the BASELINE.json primary metric. One cycle = one
 16-step-horizon QP + 20 rollout steps per scenario.
 
 The headline number uses the PRODUCTION configuration: the batch-global
-adaptive solver (admm.solve_adaptive via engine.mpc_cycle_batch) with the
-same escalation cap (max_iter=600) that completes the full 10 s reference
-command schedule — i.e. the throughput of the configuration the robustness
+adaptive solver (admm.solve_adaptive via engine.mpc_cycle_batch) with an
+escalation cap (max_iter=1000) at or above every cap certified to complete
+the full 10 s reference command schedule — i.e. the throughput of the configuration the robustness
 claims hold for, not of a weakened fixed-iteration setting. The JSON also
 records the solver configuration, the measured mean iterations/cycle, and
 the legacy fixed-iteration path at 150/400 iters as the iters->throughput
