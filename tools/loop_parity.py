@@ -144,7 +144,11 @@ def main():
 
     import multiprocessing as mp
 
-    with mp.Pool(min(4, mp.cpu_count())) as pool:
+    # spawn, not fork: the parent holds a multithreaded JAX runtime and
+    # fork() from it can deadlock the worker pool
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(min(4, mp.cpu_count())) as pool:
         refs = pool.map(_oracle_solve, qps, chunksize=8)
 
     errs, fzs = [], []
