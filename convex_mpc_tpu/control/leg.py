@@ -77,9 +77,7 @@ def make_leg_obs(dyn: D.Go2Dyn, q: jnp.ndarray, dq: jnp.ndarray, yaw) -> LegObs:
     ``yaw`` is the continuous (unwrapped) yaw carried by the caller.
     """
     poses = K.fk(dyn.kin, q)
-    J = jnp.stack(
-        [K.point_jacobian(poses, poses.foot_w[l], 3 + 3 * l) for l in range(4)]
-    )
+    J = K.point_jacobians(poses, poses.foot_w, K.FOOT_BODIES)
     foot_vel = ein("lij,j->li", J, dq)
     com, vcom = D.com_state(dyn, q, dq)
     return LegObs(

@@ -70,8 +70,9 @@ def _body_jacobians(poses: K.Poses, dyn: Go2Dyn):
     """World COM positions (13,3), COM linear Jacobians (13,3,18), angular
     Jacobians (13,3,18), world inertias (13,3,3)."""
     com_w = poses.p + ein("bij,bj->bi", poses.R, dyn.com)
-    Jc = jnp.stack([K.point_jacobian(poses, com_w[b], b) for b in range(NUM_BODIES)])
-    Jw = jnp.stack([K.angular_jacobian(poses, b) for b in range(NUM_BODIES)])
+    bodies = np.arange(NUM_BODIES)
+    Jc = K.point_jacobians(poses, com_w, bodies)
+    Jw = K.angular_jacobians(poses, bodies)
     I_w = ein("bij,bjk,blk->bil", poses.R, dyn.inertia, poses.R)
     return com_w, Jc, Jw, I_w
 

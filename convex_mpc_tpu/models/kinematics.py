@@ -143,35 +143,58 @@ def point_jacobian(poses: Poses, point_w: jnp.ndarray, body: int) -> jnp.ndarray
     Columns follow the pinocchio free-flyer dq convention: [v_body(3),
     omega_body(3), 12 joint vels]; equals Pinocchio's LOCAL_WORLD_ALIGNED
     frame Jacobian rows 0:3 (reference go2_robot_data.py:286-353).
+    Delegates to the batched builder so single- and multi-body callers
+    share one numeric path.
     """
-    base_R = poses.R[0]
-    base_p = poses.p[0]
-    rel = point_w - base_p
-    J_base_lin = base_R  # v_base is given in body frame
-    J_base_ang = mm(-hat(rel), base_R)  # omega in body frame: w_w = R @ w_b
-    # joint columns: a_j x (p - o_j), masked to ancestors of `body`
-    arm = point_w[None, :] - poses.joint_origin_w  # (12, 3)
-    cols = jnp.cross(poses.joint_axis_w, arm)  # (12, 3)
-    mask = _JOINT_MASK_J[body][:, None]
-    J_joints = jnp.where(mask, cols, 0.0).T  # (3, 12)
-    return jnp.concatenate([J_base_lin, J_base_ang, J_joints], axis=1)
+    return point_jacobians(poses, point_w[None], np.array([body]))[0]
 
 
 def angular_jacobian(poses: Poses, body: int) -> jnp.ndarray:
     """World angular-velocity Jacobian (3, 18) of `body` (pin dq convention)."""
+    return angular_jacobians(poses, np.array([body]))[0]
+
+
+def point_jacobians(
+    poses: Poses, points_w: jnp.ndarray, bodies: np.ndarray
+) -> jnp.ndarray:
+    """Batched point Jacobians: (K,3) points on static body ids -> (K,3,18).
+
+    One fused graph instead of K stacked subgraphs — the 1 kHz tick calls
+    this for all 13 body COMs (mass matrix / bias) and all 4 feet every
+    millisecond, so graph size here directly sets the tick's kernel-launch
+    overhead. Joint columns are a_j x (p - o_j) masked to the ancestors of
+    each body; base columns are [R_base | -hat(p - p_base) R_base].
+    """
     base_R = poses.R[0]
-    zeros = jnp.zeros((3, 3), poses.R.dtype)
-    mask = _JOINT_MASK_J[body][:, None]
-    J_joints = jnp.where(mask, poses.joint_axis_w, 0.0).T
-    return jnp.concatenate([zeros, base_R, J_joints], axis=1)
+    rel = points_w - poses.p[0][None, :]  # (K, 3)
+    J_base_lin = jnp.broadcast_to(base_R, (points_w.shape[0], 3, 3))
+    J_base_ang = mm(-hat(rel), base_R)  # hat() batches over leading axes
+    arm = points_w[:, None, :] - poses.joint_origin_w[None]  # (K, 12, 3)
+    cols = jnp.cross(poses.joint_axis_w[None], arm)  # (K, 12, 3)
+    mask = _JOINT_MASK_J[np.asarray(bodies)][:, :, None]  # (K, 12, 1)
+    J_joints = jnp.where(mask, cols, 0.0).swapaxes(-1, -2)  # (K, 3, 12)
+    return jnp.concatenate([J_base_lin, J_base_ang, J_joints], axis=-1)
+
+
+def angular_jacobians(poses: Poses, bodies: np.ndarray) -> jnp.ndarray:
+    """Batched `angular_jacobian` for static body ids -> (K,3,18)."""
+    K_ = len(bodies)
+    base_R = poses.R[0]
+    zeros = jnp.zeros((K_, 3, 3), poses.R.dtype)
+    mask = _JOINT_MASK_J[np.asarray(bodies)][:, :, None]
+    J_joints = jnp.where(mask, poses.joint_axis_w[None], 0.0).swapaxes(-1, -2)
+    return jnp.concatenate(
+        [zeros, jnp.broadcast_to(base_R, (K_, 3, 3)), J_joints], axis=-1
+    )
+
+
+FOOT_BODIES = np.array([3, 6, 9, 12])  # calf body of each leg
 
 
 def foot_jacobians(kin: Go2Kin, q: jnp.ndarray) -> jnp.ndarray:
     """(4, 3, 18) world-aligned foot point Jacobians."""
     poses = fk(kin, q)
-    return jnp.stack(
-        [point_jacobian(poses, poses.foot_w[l], 3 + 3 * l) for l in range(4)]
-    )
+    return point_jacobians(poses, poses.foot_w, FOOT_BODIES)
 
 
 def qdot(q: jnp.ndarray, dq: jnp.ndarray) -> jnp.ndarray:
@@ -193,7 +216,7 @@ def foot_state(kin: Go2Kin, q: jnp.ndarray, dq: jnp.ndarray):
     reference go2_robot_data.py:271-283.
     """
     poses = fk(kin, q)
-    J = jnp.stack([point_jacobian(poses, poses.foot_w[l], 3 + 3 * l) for l in range(4)])
+    J = point_jacobians(poses, poses.foot_w, FOOT_BODIES)
     vel = ein("lij,j->li", J, dq)
     return poses.foot_w, vel
 
@@ -208,9 +231,7 @@ def foot_jdot_qd(kin: Go2Kin, q: jnp.ndarray, dq: jnp.ndarray) -> jnp.ndarray:
 
     def vel_of_q(qq):
         poses = fk(kin, qq)
-        J = jnp.stack(
-            [point_jacobian(poses, poses.foot_w[l], 3 + 3 * l) for l in range(4)]
-        )
+        J = point_jacobians(poses, poses.foot_w, FOOT_BODIES)
         return ein("lij,j->li", J, dq)
 
     _, jd = jax.jvp(vel_of_q, (q,), (qdot(q, dq),))

@@ -173,9 +173,7 @@ def step(
         poses = K.fk(dyn.kin, q)
         base_R = poses.R[0]
         foot_pos = poses.foot_w
-        J = jnp.stack(
-            [K.point_jacobian(poses, poses.foot_w[l], 3 + 3 * l) for l in range(4)]
-        )  # (4, 3, 18)
+        J = K.point_jacobians(poses, poses.foot_w, K.FOOT_BODIES)  # (4, 3, 18)
     if foot_vel is None:
         foot_vel = ein("lij,j->li", J, dq)
 
