@@ -15,6 +15,7 @@ contact/terrain parameters, command schedules, and the engine state itself.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -150,21 +151,34 @@ def gait_sweep(
     return make_batch(dyn, cmds, gait_hz=hz, gait_duty=duty, **kw)
 
 
-def simulate_batch(
-    dyn: D.Go2Dyn,
-    batch: ScenarioBatch,
-    n_cycles: int,
-    solver_iters: int = 300,
-    collect_logs: bool = False,
-    **cycle_kwargs,
-):
-    """Run every scenario for n_cycles MPC periods (vmapped, jitted).
+@functools.lru_cache(maxsize=64)
+def _make_batch_runner(n_cycles, solver_iters, collect_logs, adaptive, ck_items):
+    """Compiled-runner cache for ``simulate_batch``.
 
-    Returns (ScenarioBatch with advanced states, metrics dict). Metrics are
-    per-scenario: final height, mean |velocity error|, upright flag.
+    Repeated calls with the same static configuration (e.g.
+    ``tools/long_sweep.py`` invoking ``simulate_batch`` once per checkpoint
+    chunk) reuse ONE jitted program instead of building a fresh ``jax.jit``
+    — and therefore retracing + recompiling — on every call. ``dyn`` is a
+    traced argument (``in_axes=None``), not a closure constant, so the cache
+    is valid for any Go2Dyn of the same shapes.
     """
+    cycle_kwargs = dict(ck_items)
 
-    def one(gait, contact, sched, state):
+    if adaptive:
+
+        def run(dyn, gait, contact, sched, state):
+            def body(s, _):
+                s2, log = E.mpc_cycle_batch(
+                    dyn, gait, contact, sched, s,
+                    solver_iters=solver_iters, **cycle_kwargs,
+                )
+                return s2, (log if collect_logs else None)
+
+            return jax.lax.scan(body, state, None, length=n_cycles)
+
+        return jax.jit(run)
+
+    def one(dyn, gait, contact, sched, state):
         def body(s, _):
             s2, log = E.mpc_cycle(
                 dyn, gait, contact, sched, s,
@@ -175,8 +189,35 @@ def simulate_batch(
         state, logs = jax.lax.scan(body, state, None, length=n_cycles)
         return state, logs
 
-    states, logs = jax.jit(jax.vmap(one))(
-        batch.gait, batch.contact, batch.sched, batch.state
+    return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0)))
+
+
+def simulate_batch(
+    dyn: D.Go2Dyn,
+    batch: ScenarioBatch,
+    n_cycles: int,
+    solver_iters: int = 300,
+    collect_logs: bool = False,
+    adaptive: bool = False,
+    **cycle_kwargs,
+):
+    """Run every scenario for n_cycles MPC periods (vmapped, jitted).
+
+    Returns (ScenarioBatch with advanced states, metrics dict). Metrics are
+    per-scenario: final height, mean |velocity error|, upright flag.
+
+    ``adaptive=True`` runs the production batch-global adaptive solver
+    (``engine.mpc_cycle_batch`` / ``admm.solve_adaptive``) instead of the
+    vmapped fixed-iteration path: ``solver_iters`` becomes the escalation
+    cap, steady cycles converge early, and the QP solve is one XLA program
+    over the whole batch.
+    """
+    runner = _make_batch_runner(
+        n_cycles, solver_iters, collect_logs, adaptive,
+        tuple(sorted(cycle_kwargs.items())),
+    )
+    states, logs = runner(
+        dyn, batch.gait, batch.contact, batch.sched, batch.state
     )
     new_batch = batch._replace(state=states)
 

@@ -36,3 +36,21 @@ def test_gait_sweep_shapes(dyn):
     assert batch.size == 4
     periods = np.asarray(batch.gait.period)
     assert set(np.round(1 / periods, 2)) == {2.5, 3.0}
+
+
+def test_adaptive_batch_path_and_runner_cache(dyn):
+    """adaptive=True runs the batch-global solver (engine.mpc_cycle_batch);
+    repeated same-config calls reuse one compiled runner (the long_sweep
+    per-chunk pattern must not retrace/recompile every chunk)."""
+    batch = S.velocity_sweep(dyn, 4, vx_range=(0.0, 0.4), vy_range=(0, 0), wz_range=(0, 0))
+    S._make_batch_runner.cache_clear()
+    batch, metrics, _ = S.simulate_batch(
+        dyn, batch, n_cycles=4, solver_iters=300, adaptive=True
+    )
+    assert bool(np.asarray(metrics["upright"]).all())
+    batch, metrics, _ = S.simulate_batch(
+        dyn, batch, n_cycles=4, solver_iters=300, adaptive=True
+    )
+    assert bool(np.asarray(metrics["upright"]).all())
+    info = S._make_batch_runner.cache_info()
+    assert info.hits >= 1 and info.misses == 1

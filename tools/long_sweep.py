@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--chunk-cycles", type=int, default=50, help="cycles per chunk (1 s)")
     ap.add_argument("--solver-iters", type=int, default=400)
+    ap.add_argument("--adaptive", action="store_true",
+                    help="batch-global adaptive solver (production config; "
+                    "--solver-iters becomes the escalation cap)")
     ap.add_argument("--out", default="artifacts/sweep")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
@@ -67,7 +70,8 @@ def main():
     for chunk in range(start_chunk, total_chunks):
         t0 = time.perf_counter()
         batch, metrics, _ = S.simulate_batch(
-            dyn, batch, n_cycles=args.chunk_cycles, solver_iters=args.solver_iters
+            dyn, batch, n_cycles=args.chunk_cycles,
+            solver_iters=args.solver_iters, adaptive=args.adaptive,
         )
         jax.block_until_ready(batch)
         dt = time.perf_counter() - t0
@@ -87,6 +91,7 @@ def main():
         meta_path.write_text(json.dumps(dict(
             batch=args.batch, seed=args.seed, chunks_done=chunk + 1,
             chunk_cycles=args.chunk_cycles, solver_iters=args.solver_iters,
+            adaptive=args.adaptive,
         )))
         print(f"[long-sweep] {json.dumps(rec)}")
     wall = time.perf_counter() - t_start

@@ -65,12 +65,14 @@ def main():
         contact_b = E.broadcast_batch(contact, c)
         sched_b = E.broadcast_batch(sched, c)
 
-        def fn(state):
+        def _fn(state):
             s, _ = E.mpc_cycle_batch(
                 dyn, gait_b, contact_b, sched_b, state, n=16,
                 solver_iters=args.iters,
             )
             return s
+
+        fn = jax.jit(_fn)  # one XLA program per sub-batch, like bench.py
 
         subs = []
         for k in range(n_sub):
@@ -83,6 +85,8 @@ def main():
                 )
             )
             subs.append(fn(sb))  # compile once (k=0), then reuse
+        for _ in range(2):  # settle warm starts (as bench.py)
+            subs = [fn(s) for s in subs]
         jax.block_until_ready(subs)
         best = float("inf")
         for _ in range(3):
@@ -118,12 +122,14 @@ def main():
                 contact_b = E.broadcast_batch(contact, b)
                 sched_b = E.broadcast_batch(sched, b)
 
-                def fn(state, gait_b=gait_b, contact_b=contact_b, sched_b=sched_b):
+                def _fn(state, gait_b=gait_b, contact_b=contact_b, sched_b=sched_b):
                     s, _ = E.mpc_cycle_batch(
                         dyn, gait_b, contact_b, sched_b, state,
                         n=16, solver_iters=args.iters,
                     )
                     return s
+
+                fn = jax.jit(_fn)  # one XLA program, like bench.py's adaptive_step
             else:
                 def step(state):
                     s, _ = E.mpc_cycle(
@@ -132,7 +138,8 @@ def main():
                     return s
 
                 fn = jax.jit(jax.vmap(step))
-            sb = fn(sb)
+            for _ in range(3):  # compile + settle warm starts (as bench.py)
+                sb = fn(sb)
             jax.block_until_ready(sb)
             best = float("inf")
             for _ in range(3):
