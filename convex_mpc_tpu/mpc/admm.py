@@ -424,6 +424,81 @@ def solve_batch(qp: QpData, state: AdmmState, **kwargs) -> AdmmSolution:
     return jax.vmap(lambda q, st: solve(q, st, **kwargs))(qp, state)
 
 
+class ScaledStructuredQp(NamedTuple):
+    """Ruiz-equilibrated condensed QP in block form (batched)."""
+
+    p_diag: jnp.ndarray  # (B, nz)
+    p_dense: jnp.ndarray  # (B, nz, nz)
+    q: jnp.ndarray  # (B, nz)
+    C: jnp.ndarray  # (B, nb, 4, 3) scaled friction blocks
+    box_diag: jnp.ndarray  # (B, nz) scaled box-row diagonal
+    l: jnp.ndarray  # (B, m)
+    u: jnp.ndarray  # (B, m)
+    d: jnp.ndarray  # (B, nz)
+    e: jnp.ndarray  # (B, m)
+    c: jnp.ndarray  # (B,)
+
+
+def ruiz_equilibrate_structured(
+    p_dense, q, C, box_diag, l, u, iters: int = 10
+) -> ScaledStructuredQp:
+    """Ruiz + OSQP cost normalization on the block-form condensed QP.
+
+    Bit-for-bit the same scalings as :func:`ruiz_equilibrate` on the
+    equivalent dense matrix (asserted in tests/test_condensed.py): column
+    and row max-norms only ever see the nonzero entries, which live in the
+    friction blocks and the box diagonal. All inputs batched (leading B).
+    """
+    B, nz = q.shape
+    nb = C.shape[1]
+    m = l.shape[-1]
+    m_fr = 4 * nb
+    dtype = q.dtype
+    d = jnp.ones((B, nz), dtype)
+    e_fr = jnp.ones((B, m_fr), dtype)
+    e_box = jnp.ones((B, nz), dtype)
+    c = jnp.ones((B,), dtype)
+
+    def sweep(carry, _):
+        p, C, box, q, d, e_fr, e_box, c = carry
+        colP = jnp.max(jnp.abs(p), axis=-2)  # (B, nz)
+        colC = jnp.max(jnp.abs(C), axis=-2).reshape(B, nz)  # max over faces
+        col_norm = jnp.maximum(jnp.maximum(colC, jnp.abs(box)), colP)
+        dd = 1.0 / jnp.sqrt(jnp.maximum(col_norm, 1e-12))
+        dd = jnp.clip(dd, 1e-6, 1e6)
+        dd_b = dd.reshape(B, nb, 1, 3)
+        row_fr = jnp.max(jnp.abs(C * dd_b), axis=-1).reshape(B, m_fr)
+        row_box = jnp.abs(box * dd)
+        ee_fr = jnp.clip(1.0 / jnp.sqrt(jnp.maximum(row_fr, 1e-12)), 1e-6, 1e6)
+        ee_box = jnp.clip(1.0 / jnp.sqrt(jnp.maximum(row_box, 1e-12)), 1e-6, 1e6)
+        C = ee_fr.reshape(B, nb, 4, 1) * (C * dd_b)
+        box = ee_box * (box * dd)
+        p = dd[:, :, None] * p * dd[:, None, :]
+        q = dd * q
+        gamma = 1.0 / jnp.maximum(
+            jnp.maximum(
+                jnp.mean(jnp.max(jnp.abs(p), axis=-2), axis=-1),
+                jnp.max(jnp.abs(q), axis=-1),
+            ),
+            1e-12,
+        )
+        gamma = jnp.clip(gamma, 1e-6, 1e6)
+        p = gamma[:, None, None] * p
+        q = gamma[:, None] * q
+        return (p, C, box, q, d * dd, e_fr * ee_fr, e_box * ee_box, c * gamma), None
+
+    (p, C, box, q, d, e_fr, e_box, c), _ = lax.scan(
+        sweep, (p_dense, C, box_diag, q, d, e_fr, e_box, c), None, length=iters
+    )
+    e = jnp.concatenate([e_fr, e_box], axis=-1)
+    l_s = l * jnp.where(jnp.isfinite(l), e, 1.0)
+    u_s = u * jnp.where(jnp.isfinite(u), e, 1.0)
+    return ScaledStructuredQp(
+        p_diag=jnp.diagonal(p, axis1=-2, axis2=-1), p_dense=p, q=q, C=C,
+        box_diag=box, l=l_s, u=u_s, d=d, e=e, c=c,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch-global adaptive solver (OSQP-faithful refactor-on-demand)
 # ---------------------------------------------------------------------------
@@ -432,6 +507,7 @@ def solve_batch(qp: QpData, state: AdmmState, **kwargs) -> AdmmSolution:
     static_argnames=(
         "max_iter", "check_every", "scaling_iters", "box_tail",
         "rho_refactor_ratio", "setup_precision", "debug", "polish",
+        "polish_rounds", "use_pallas",
     ),
 )
 def solve_adaptive(
@@ -453,6 +529,8 @@ def solve_adaptive(
     setup_precision=lax.Precision.HIGHEST,
     debug: bool = False,
     polish: bool = True,
+    polish_rounds: int = 3,
+    use_pallas: bool = False,
 ) -> AdmmSolution:
     """Batched adaptive-iteration ADMM with refactor-on-demand.
 
@@ -486,8 +564,28 @@ def solve_adaptive(
         m = qp.l.shape[-1]
         m_fr = m - box_tail
         assert box_tail > 0, "solve_adaptive requires the condensed box_tail form"
+        nb = nz // 3
+        assert m_fr == 4 * nb, "condensed layout: 4 pyramid rows per block"
+        face_rows = jnp.asarray(np.arange(m_fr).reshape(nb, 4))
+        blk_cols = jnp.asarray(np.arange(nz).reshape(nb, 3))
 
-        s = jax.vmap(lambda q: ruiz_equilibrate(q, scaling_iters))(qp)
+        # block form of the constraint matrix: the condensed QP's friction
+        # rows are local to one (step, leg) 3-force block and the box rows
+        # are the identity — the dense (B, m, nz) matrix is never needed.
+        # Every pass over it (Ruiz sweeps, iteration matvecs) was pure HBM
+        # traffic for ~1% nonzeros (measured: Ruiz alone ~54 ms of a ~95 ms
+        # solve at B = 512).
+        if hasattr(qp, "C"):  # condensed.StructuredQp
+            C_raw = qp.C  # (B, nb, 4, 3)
+            box_diag_raw = jnp.ones((B, nz), dtype)
+        else:  # dense QpData: extract the blocks once
+            C_raw = qp.A[:, face_rows[:, :, None], blk_cols[:, None, :]]
+            box_diag_raw = jnp.diagonal(qp.A[:, m_fr:, :], axis1=-2, axis2=-1)
+
+        s = ruiz_equilibrate_structured(
+            qp.p_dense, qp.q, C_raw, box_diag_raw, qp.l, qp.u,
+            iters=scaling_iters,
+        )
         is_eq = (qp.u - qp.l) < 1e-9  # (B, m)
 
         # warm start into scaled space
@@ -498,8 +596,7 @@ def solve_adaptive(
         if rho.ndim == 0:
             rho = jnp.full((B,), rho, dtype)
 
-        A_fr = s.A[:, :m_fr, :]  # (B, m_fr, nz)
-        box_diag = jnp.diagonal(s.A[:, m_fr:, :], axis1=-2, axis2=-1)  # (B, nz)
+        box_diag = s.box_diag  # (B, nz)
         w_vec = jnp.where(is_eq, eq_scale, 1.0).astype(dtype)  # (B, m)
         w_fr, w_box = w_vec[:, :m_fr], w_vec[:, m_fr:]
 
@@ -507,7 +604,17 @@ def solve_adaptive(
             return jnp.matmul(a, b, precision=setup_precision)
 
         P_mat = s.p_dense + sigma * jnp.eye(nz, dtype=dtype)
-        K = bmm(jnp.swapaxes(A_fr, -1, -2), A_fr * w_fr[:, :, None])  # (B, nz, nz)
+        # K = A_fr' W A_fr is block-diagonal: one (3, 3) Gram per block
+        K_blocks = jnp.einsum(
+            "bnfr,bnf,bnfs->bnrs", s.C, w_fr.reshape(B, nb, 4), s.C,
+            precision=setup_precision,
+        )  # (B, nb, 3, 3)
+        # materialize once as dense block-diagonal (broadcast against the
+        # block identity — no scatter)
+        eye_nb = jnp.eye(nb, dtype=dtype)
+        K = (
+            K_blocks[:, :, :, None, :] * eye_nb[None, :, None, :, None]
+        ).reshape(B, nz, nz)
         K_box_diag = w_box * box_diag * box_diag  # (B, nz)
         eye = jnp.eye(nz, dtype=dtype)
 
@@ -517,28 +624,35 @@ def solve_adaptive(
                 + rho[:, None, None] * K
                 + (rho[:, None] * K_box_diag)[:, :, None] * eye
             )
-            L = jnp.linalg.cholesky(M)
-            if nz % 64 == 0:
-                # blocked triangular inversion: diagonal-block tri-solves +
-                # MXU matmul chain instead of XLA's column-serialized
-                # 192-RHS solve (~1.4x on the tri-solve, the dominant part
-                # of the refactorization — tools/solve_ablation.py;
-                # equivalence asserted in tests/test_linalg.py)
-                from convex_mpc_tpu.ops.linalg import blocked_tri_inverse
+            if nz % 32 == 0:
+                # fused Pallas SPD inverse: XLA's batched Cholesky
+                # serializes ~nz HLO column steps (~19 ms at B=512 for
+                # nz=192 on v5e) and the 192-RHS triangular solve another
+                # ~13 ms; the kernel runs the blocked factorization as
+                # straight-line VPU/MXU code in VMEM (~12 ms -> whole
+                # refactorization, measured in-program). Falls back to the
+                # XLA path off-TPU (ops/chol_kernel.py), equivalence in
+                # tests/test_kernels.py.
+                from convex_mpc_tpu.ops.chol_kernel import spd_inverse
 
-                Linv = blocked_tri_inverse(L, block=64)
-            else:
-                Linv = jax.scipy.linalg.solve_triangular(
-                    L, jnp.broadcast_to(eye, L.shape), lower=True
-                )
+                return spd_inverse(M)
+            L = jnp.linalg.cholesky(M)
+            Linv = jax.scipy.linalg.solve_triangular(
+                L, jnp.broadcast_to(eye, L.shape), lower=True
+            )
             return bmm(jnp.swapaxes(Linv, -1, -2), Linv)
 
         def mv_A(v):  # (B, nz) -> (B, m)
-            fr = jnp.einsum("bmn,bn->bm", A_fr, v, precision=_PRECISION)
+            fr = jnp.einsum(
+                "bnfr,bnr->bnf", s.C, v.reshape(B, nb, 3), precision=_PRECISION
+            ).reshape(B, m_fr)
             return jnp.concatenate([fr, box_diag * v], axis=-1)
 
         def mv_AT(w):  # (B, m) -> (B, nz)
-            fr = jnp.einsum("bnm,bn->bm", A_fr, w[:, :m_fr], precision=_PRECISION)
+            fr = jnp.einsum(
+                "bnfr,bnf->bnr", s.C, w[:, :m_fr].reshape(B, nb, 4),
+                precision=_PRECISION,
+            ).reshape(B, nz)
             return fr + box_diag * w[:, m_fr:]
 
         def residuals(x, z, y):
@@ -557,8 +671,35 @@ def solve_adaptive(
             )
             return rp / ep, rd / ed
 
+        if use_pallas:
+            # the VMEM-resident iteration kernel consumes the dense scaled
+            # constraint matrix; materialize it ONCE per solve from the
+            # blocks (a single scatter — the kernel then reads it from HBM
+            # once per chunk instead of twice per iteration)
+            A_dense_s = (
+                jnp.zeros((B, m_fr, nz), dtype)
+                .at[:, face_rows[:, :, None], blk_cols[:, None, :]]
+                .set(s.C)
+            )
+            A_dense_s = jnp.concatenate(
+                [A_dense_s, box_diag[:, :, None] * jnp.eye(nz, dtype=dtype)],
+                axis=-2,
+            )
+
         def chunk_iters(x, z, y, rho, Minv):
             rho_vec = rho[:, None] * w_vec
+            if use_pallas:
+                # VMEM-resident iteration kernel: under XLA each iteration
+                # re-streams A (B, m, nz) and Minv from HBM (~275 MB/iter at
+                # B=512) — bandwidth-bound; the kernel pins them in VMEM for
+                # the whole chunk (mpc/kernels.py, equivalence in
+                # tests/test_kernels.py)
+                from convex_mpc_tpu.mpc import kernels
+
+                return kernels.admm_iterations(
+                    A_dense_s, Minv, s.q, s.l, s.u, rho_vec, x, z, y,
+                    iters=check_every, sigma=sigma, alpha=alpha, block_k=4,
+                )
 
             def body(_, carry):
                 x, z, y = carry
@@ -647,28 +788,18 @@ def solve_adaptive(
             y_tol = 1e-3 * jnp.max(jnp.abs(y_raw), axis=-1, keepdims=True)
             act_lo = fin_l & (is_eq | (y_raw < -y_tol))
             act_hi = fin_u & (~act_lo) & (y_raw > y_tol)
-            A_fr_raw = qp.A[:, :m_fr, :]
-            box_diag_raw = jnp.diagonal(qp.A[:, m_fr:, :], axis1=-2, axis2=-1)
             l_raw = qp.l
             u_raw = qp.u
-            nb = nz // 3
-            assert m_fr == 4 * nb, "condensed layout: 4 pyramid rows per block"
-            face_rows = jnp.asarray(np.arange(m_fr).reshape(nb, 4))
-            blk_cols = jnp.asarray(np.arange(nz).reshape(nb, 3))
             # block-local pyramid coefficients (exact +-1 / -mu entries)
-            C_coef = A_fr_raw[:, face_rows[:, :, None], blk_cols[:, None, :]]
+            C_coef = C_raw
             eye3 = jnp.eye(3, dtype=dtype)
 
             def ax_raw(xc):
-                return jnp.concatenate(
-                    [
-                        jnp.einsum(
-                            "bmn,bn->bm", A_fr_raw, xc, precision=_PRECISION
-                        ),
-                        box_diag_raw * xc,
-                    ],
-                    axis=-1,
-                )
+                fr = jnp.einsum(
+                    "bnfr,bnr->bnf", C_raw, xc.reshape(B, nb, 3),
+                    precision=_PRECISION,
+                ).reshape(B, m_fr)
+                return jnp.concatenate([fr, box_diag_raw * xc], axis=-1)
 
             def viol(xc_raw):
                 v = jnp.maximum(l_raw - ax_raw(xc_raw), ax_raw(xc_raw) - u_raw)
@@ -757,15 +888,25 @@ def solve_adaptive(
                     jnp.diagonal(H, axis1=-2, axis2=-1), 1e-30
                 ))
                 Hn = H / (djr[:, :, None] * djr[:, None, :]) + 1e-6 * eye
-                Lr = jnp.linalg.cholesky(Hn)
-                zr = lax.linalg.triangular_solve(
-                    Lr,
-                    lax.linalg.triangular_solve(
-                        Lr, (rhs_r / djr)[..., None],
-                        left_side=True, lower=True,
-                    ),
-                    left_side=True, lower=True, transpose_a=True,
-                )[..., 0] / djr
+                # XLA's batched Cholesky + 1-RHS triangular solves serialize
+                # ~32 ms of column steps at B=512; the fused Pallas SPD
+                # inverse (ops/chol_kernel.py) runs the factorization in
+                # VMEM and one matvec finishes the Jacobi-scaled solve
+                if nz % 32 == 0:
+                    from convex_mpc_tpu.ops.chol_kernel import spd_inverse
+
+                    Hinv = spd_inverse(Hn)
+                else:
+                    Lr = jnp.linalg.cholesky(Hn)
+                    Lri = jax.scipy.linalg.solve_triangular(
+                        Lr, jnp.broadcast_to(eye, Lr.shape), lower=True
+                    )
+                    Hinv = jnp.matmul(
+                        jnp.swapaxes(Lri, -1, -2), Lri, precision=setup_precision
+                    )
+                zr = jnp.einsum(
+                    "bnm,bn->bm", Hinv, rhs_r / djr, precision=_PRECISION
+                ) / djr
                 x_pol = x_p + jnp.einsum(
                     "bmn,bn->bm", Pi, zr, precision=_PRECISION
                 )
@@ -816,11 +957,14 @@ def solve_adaptive(
                 o_ok = obj(x_c) <= o_x + 1e-3 * jnp.abs(o_x) + 1e-6
                 return feas & sign_ok & stat_ok & o_ok
 
-            a_lo, a_hi = act_lo, act_hi
-            x_pol_raw = jnp.zeros_like(x_it_raw)
-            best_obj = jnp.full((B,), big, dtype)
-            ok_pol = jnp.zeros((B,), bool)
-            for _ in range(3):  # static refinement rounds
+            # refinement rounds: same 3-round ladder as before, but later
+            # rounds only execute when some scenario is still uncertified —
+            # in steady trot round 1 certifies the whole batch and rounds
+            # 2-3 are genuinely skipped (lax.while_loop, not select), which
+            # is most of the polish cost (each round carries a batched
+            # Cholesky + reduced solve)
+            def round_body(rcarry):
+                a_lo, a_hi, x_pol_raw, best_obj, ok_pol, r = rcarry
                 x_k, y_k, st_k = polish_once(a_lo, a_hi)
                 ok_k = certify(a_lo, a_hi, x_k, y_k, st_k)
                 o_k = jnp.where(ok_k, obj(x_k), big)
@@ -829,6 +973,22 @@ def solve_adaptive(
                 best_obj = jnp.minimum(o_k, best_obj)
                 ok_pol = ok_pol | ok_k
                 a_lo, a_hi = refine(a_lo, a_hi, x_k, y_k)
+                return (a_lo, a_hi, x_pol_raw, best_obj, ok_pol, r + 1)
+
+            def round_cond(rcarry):
+                ok_pol, r = rcarry[4], rcarry[5]
+                return (r < polish_rounds) & ~ok_pol.all()
+
+            rcarry0 = (
+                act_lo, act_hi, jnp.zeros_like(x_it_raw),
+                jnp.full((B,), big, dtype), jnp.zeros((B,), bool),
+                jnp.asarray(0, jnp.int32),
+            )
+            # round 1 always runs; the loop predicate then gates rounds 2-3
+            rcarry = round_body(rcarry0)
+            a_lo, a_hi, x_pol_raw, best_obj, ok_pol, _ = lax.while_loop(
+                round_cond, round_body, rcarry
+            )
             if debug:
                 jax.debug.print(
                     "polish: n_act {na}->{nb} viol x={vx} pol={vp} "
@@ -979,14 +1139,29 @@ def solve_adaptive(
             # iterate (best effort, counted as non-converged)
             x = jnp.where(pol_ok[:, None], x_pol_buf, x)
 
-        # unscale + raw residual report
+        # unscale + raw residual report (blockwise raw matvecs)
         x_out = s.d * x
         y_out = s.e * y / s.c[:, None]
         z_out = z / s.e
-        ax = jnp.einsum("bmn,bn->bm", qp.A, x_out, precision=_PRECISION)
+        ax = jnp.concatenate(
+            [
+                jnp.einsum(
+                    "bnfr,bnr->bnf", C_raw, x_out.reshape(B, nb, 3),
+                    precision=_PRECISION,
+                ).reshape(B, m_fr),
+                box_diag_raw * x_out,
+            ],
+            axis=-1,
+        )
         rp = jnp.max(jnp.abs(ax - z_out), axis=-1)
         px = jnp.einsum("bnm,bm->bn", qp.p_dense, x_out, precision=_PRECISION)
-        aty = jnp.einsum("bnm,bn->bm", qp.A, y_out, precision=_PRECISION)
+        aty = (
+            jnp.einsum(
+                "bnfr,bnf->bnr", C_raw, y_out[:, :m_fr].reshape(B, nb, 4),
+                precision=_PRECISION,
+            ).reshape(B, nz)
+            + box_diag_raw * y_out[:, m_fr:]
+        )
         rd = jnp.max(jnp.abs(px + qp.q + aty), axis=-1)
         iters = jnp.where(conv_iter < 0, it * check_every, conv_iter)
         return AdmmSolution(

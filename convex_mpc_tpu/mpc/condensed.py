@@ -53,6 +53,35 @@ class CondensedAux(NamedTuple):
     Sg: jnp.ndarray  # (N, 12)
 
 
+class StructuredQp(NamedTuple):
+    """Condensed QP with the constraint matrix in its analytic block form.
+
+    The condensed constraint matrix is never dense in substance: every
+    friction-pyramid row touches only its own (step, leg) 3-force block and
+    the box rows are the identity. Carrying the dense (m, nz) matrix makes
+    Ruiz equilibration and the iteration matvecs stream ~176 MB per pass at
+    B = 512 for data that compresses to ~1.5 MB of block coefficients —
+    measured ~54 ms of a ~95 ms adaptive solve. This pytree carries only:
+
+    - ``C``: (nb, 4, 3) friction-face coefficients per (step, leg) block,
+      block-major in the same row order as the dense form's friction rows
+      (nb = N * 4 legs); supports per-leg/per-step mu;
+    - box rows are implicit identity (diagonal 1) — their Ruiz scaling is
+      tracked separately inside the solver.
+
+    Row order of ``l``/``u`` matches the dense condensed form exactly:
+    [N*16 friction rows, N*12 box rows], so warm-start state (z, y) is
+    layout-compatible with :class:`convex_mpc_tpu.mpc.qp.QpData`.
+    """
+
+    p_diag: jnp.ndarray  # (nz,)
+    q: jnp.ndarray  # (nz,)
+    C: jnp.ndarray  # (nb, 4, 3) friction block coefficients
+    l: jnp.ndarray  # (m,)
+    u: jnp.ndarray  # (m,)
+    p_dense: jnp.ndarray  # (nz, nz)
+
+
 def n_vars(n: int) -> int:
     return n * NU
 
@@ -91,17 +120,8 @@ def _prediction_operators(dyn: SrbDynamics, n: int) -> CondensedAux:
     return CondensedAux(Sx=Sx, Su=Su, Sg=Sg)
 
 
-def build_condensed(
-    dyn: SrbDynamics,
-    x0: jnp.ndarray,  # (12,)
-    x_ref: jnp.ndarray,  # (N, 12)
-    contact: jnp.ndarray,  # (4, N)
-    q_diag,  # (12,)
-    r_value,  # ()
-    mu,  # ()
-    fz_min,  # ()
-) -> tuple[QpData, CondensedAux]:
-    """Assemble the condensed QP for one scenario. vmap for batches."""
+def _cost_and_bounds(dyn, x0, x_ref, contact, q_diag, r_value, mu, fz_min):
+    """Shared assembly: dense cost (P, q), block friction C, bounds (l, u)."""
     n = x_ref.shape[0]
     dtype = x_ref.dtype
     aux = _prediction_operators(dyn, n)
@@ -116,36 +136,85 @@ def build_condensed(
     P = 2.0 * (mm(Su_flat.T, QSu) + r_value * jnp.eye(n * NU, dtype=dtype))
     q = 2.0 * mm(Su_flat.T, (jnp.tile(qd, n) * e.reshape(-1)))
 
-    # ---- constraints on U (friction + box), identical to mpc.qp's U-part ----
-    faces = _friction_face_matrix(jnp.asarray(mu, dtype))
-    leg_block = jnp.zeros((FRICTION_FACES, NU), dtype)
-    for leg in range(4):
-        leg_block = leg_block.at[4 * leg : 4 * leg + 4, 3 * leg : 3 * leg + 3].set(faces)
-    rows = (np.arange(n)[:, None, None] * FRICTION_FACES + np.arange(FRICTION_FACES)[None, :, None])
-    cols = (np.arange(n)[:, None, None] * NU + np.arange(NU)[None, None, :])
-    rows = jnp.asarray(np.broadcast_to(rows, (n, FRICTION_FACES, NU)))
-    cols = jnp.asarray(np.broadcast_to(cols, (n, FRICTION_FACES, NU)))
-    A_fr = jnp.zeros((n * FRICTION_FACES, n * NU), dtype).at[rows, cols].set(
-        jnp.broadcast_to(leg_block, (n, FRICTION_FACES, NU))
-    )
+    # friction block coefficients, block-major over (step, leg):
+    # supports scalar mu or per-leg (4,) / per-(step,leg) (n, 4) mu
+    mu_a = jnp.asarray(mu, dtype)
+    mu_nl = jnp.broadcast_to(mu_a, (n, 4))
+    C = _friction_face_matrix(mu_nl).reshape(n * 4, 4, 3)  # (nb, 4, 3)
 
     stance = jnp.asarray(contact, dtype=bool)
     stance_faces = jnp.repeat(stance.T, 4, axis=1).reshape(-1)
     u_fr = jnp.where(stance_faces, 0.0, _BIG).astype(dtype)
     l_fr = jnp.full((n * FRICTION_FACES,), -_BIG, dtype)
 
-    A_box = jnp.eye(n * NU, dtype=dtype)
     swing_xyz = jnp.repeat(~stance.T, 3, axis=1).reshape(-1)
     is_fz = jnp.asarray(np.tile([False, False, True] * 4, n))
     stance_fz = (~swing_xyz) & is_fz
     l_box = jnp.where(swing_xyz, 0.0, jnp.where(stance_fz, fz_min, -_BIG)).astype(dtype)
     u_box = jnp.where(swing_xyz, 0.0, _BIG).astype(dtype)
 
-    A = jnp.concatenate([A_fr, A_box], axis=0)
     l = jnp.concatenate([l_fr, l_box])
     u = jnp.concatenate([u_fr, u_box])
+    return P, q, C, l, u, aux
+
+
+def build_condensed(
+    dyn: SrbDynamics,
+    x0: jnp.ndarray,  # (12,)
+    x_ref: jnp.ndarray,  # (N, 12)
+    contact: jnp.ndarray,  # (4, N)
+    q_diag,  # (12,)
+    r_value,  # ()
+    mu,  # ()
+    fz_min,  # ()
+) -> tuple[QpData, CondensedAux]:
+    """Assemble the condensed QP (dense A) for one scenario. vmap for batches."""
+    n = x_ref.shape[0]
+    dtype = x_ref.dtype
+    P, q, C, l, u, aux = _cost_and_bounds(
+        dyn, x0, x_ref, contact, q_diag, r_value, mu, fz_min
+    )
+
+    # ---- dense constraint matrix (friction blocks scattered + identity) ----
+    leg_of_block = np.arange(n * 4) % 4
+    rows = (np.arange(n * 4)[:, None, None] * 4 + np.arange(4)[None, :, None])
+    cols = (
+        (np.arange(n * 4) // 4)[:, None, None] * NU
+        + leg_of_block[:, None, None] * 3
+        + np.arange(3)[None, None, :]
+    )
+    rows = jnp.asarray(np.broadcast_to(rows, (n * 4, 4, 3)))
+    cols = jnp.asarray(np.broadcast_to(cols, (n * 4, 4, 3)))
+    A_fr = jnp.zeros((n * FRICTION_FACES, n * NU), dtype).at[rows, cols].set(C)
+    A = jnp.concatenate([A_fr, jnp.eye(n * NU, dtype=dtype)], axis=0)
 
     data = QpData(p_diag=jnp.diagonal(P), q=q, A=A, l=l, u=u, p_dense=P)
+    return data, aux
+
+
+def build_condensed_structured(
+    dyn: SrbDynamics,
+    x0: jnp.ndarray,
+    x_ref: jnp.ndarray,
+    contact: jnp.ndarray,
+    q_diag,
+    r_value,
+    mu,
+    fz_min,
+) -> tuple[StructuredQp, CondensedAux]:
+    """Assemble the condensed QP in block form (no dense A is ever built).
+
+    Same QP as :func:`build_condensed` — identical cost, bounds, and row
+    order — with the constraint matrix kept as the (nb, 4, 3) friction
+    blocks + implicit identity box rows (see :class:`StructuredQp`).
+    ``mu`` may be a scalar, per-leg (4,), or per-(step, leg) (N, 4) array.
+    """
+    P, q, C, l, u, aux = _cost_and_bounds(
+        dyn, x0, x_ref, contact, q_diag, r_value, mu, fz_min
+    )
+    data = StructuredQp(
+        p_diag=jnp.diagonal(P), q=q, C=C, l=l, u=u, p_dense=P
+    )
     return data, aux
 
 

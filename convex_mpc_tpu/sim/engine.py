@@ -384,7 +384,7 @@ def _run_ticks(
     jax.jit,
     static_argnames=(
         "n", "steps_per_mpc", "solver_iters", "tau_max", "mpc_dt", "sim_dt",
-        "check_every", "stall_tol", "polish",
+        "check_every", "stall_tol", "polish", "use_pallas",
     ),
 )
 def mpc_cycle_batch(
@@ -407,6 +407,7 @@ def mpc_cycle_batch(
     check_every: int = 25,
     stall_tol: float = 0.02,
     polish: bool = True,
+    use_pallas: bool | None = None,
 ) -> tuple[EngineState, CycleLog]:
     """One MPC period for a scenario BATCH with the batch-global adaptive solver.
 
@@ -429,7 +430,9 @@ def mpc_cycle_batch(
         )
         traj, refgen = R.generate(state_i.refgen, gait_i, obs, cmd, state_i.t, mpc_dt, n)
         p0 = traj.x0[0:3]
-        data, _ = condensed.build_condensed(
+        # block-form QP: the dense (m, nz) constraint matrix is never built
+        # (condensed.StructuredQp — solve_adaptive consumes the blocks)
+        data, _ = condensed.build_condensed_structured(
             traj.dyn, traj.x0.at[0:3].set(0.0), traj.x_ref.at[:, 0:3].add(-p0),
             traj.contact, qd, r_value, mu_mpc, fz_min,
         )
@@ -437,9 +440,15 @@ def mpc_cycle_batch(
 
     data_b, traj_b, refgen_b, cmd_b, yc_b, yp_b = jax.vmap(pre)(gait, sched, state)
 
+    if use_pallas is None:
+        # VMEM-resident iteration kernel on real TPUs; XLA chunks on the CPU
+        # test mesh (the pallas interpreter would be pointlessly slow there;
+        # path equivalence is asserted in tests/test_kernels.py)
+        use_pallas = jax.default_backend() == "tpu"
     sol = admm.solve_adaptive(
         data_b, state.solver, max_iter=solver_iters, check_every=check_every,
         box_tail=n * 12, stall_tol=stall_tol, polish=polish,
+        use_pallas=use_pallas,
     )
     u0_b = sol.x[:, 0:12].reshape(-1, 4, 3)
 

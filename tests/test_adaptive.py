@@ -163,3 +163,27 @@ def test_mpc_cycle_batch_matches_single(dyn):
     u_batch = np.asarray(s1.u0[0])
     u_single = np.asarray(s2.u0)
     assert np.abs(u_batch - u_single).max() < 2.0, (u_batch, u_single)  # Newtons
+
+
+def test_structured_qp_matches_dense_path(qp_batch, dyn):
+    """solve_adaptive on condensed.StructuredQp returns the same solution as
+    on the dense QpData (the dense path extracts the same blocks and both
+    run the identical structured internals)."""
+    data_b, cold = qp_batch
+    n = 16
+    nb = n * 4
+    face_rows = np.arange(nb * 4).reshape(nb, 4)
+    blk_cols = np.arange(nb * 3).reshape(nb, 3)
+    fr = jnp.asarray(face_rows)
+    bc = jnp.asarray(blk_cols)
+    C = data_b.A[:, fr[:, :, None], bc[:, None, :]]
+    struct = condensed.StructuredQp(
+        p_diag=data_b.p_diag, q=data_b.q, C=C, l=data_b.l, u=data_b.u,
+        p_dense=data_b.p_dense,
+    )
+    sol_d = admm.solve_adaptive(data_b, cold, max_iter=600, box_tail=192)
+    sol_s = admm.solve_adaptive(struct, cold, max_iter=600, box_tail=192)
+    np.testing.assert_array_equal(np.asarray(sol_d.iters), np.asarray(sol_s.iters))
+    np.testing.assert_allclose(
+        np.asarray(sol_d.x), np.asarray(sol_s.x), rtol=0, atol=1e-5
+    )

@@ -118,3 +118,76 @@ def test_condensed_warm_converges_fast(scenario):
     )
     warm = admm.solve(cond2, cold.state, max_iter=400, check_every=5, eps_dual_abs=6e-4)
     assert int(warm.iters) < 400
+
+
+def test_structured_build_matches_dense(scenario):
+    """build_condensed_structured carries the same QP as build_condensed:
+    identical cost/bounds, and its blocks reconstruct the dense A exactly."""
+    sc = scenario
+    dyn = make_dyn(sc)
+    args = (
+        jnp.asarray(sc["x0"], jnp.float32),
+        jnp.asarray(sc["x_ref"], jnp.float32),
+        jnp.asarray(sc["contact"]),
+        jnp.asarray(Q_DIAG, jnp.float32),
+        R_VAL,
+        MU,
+        FZ_MIN,
+    )
+    dense, _ = condensed.build_condensed(dyn, *args)
+    struct, _ = condensed.build_condensed_structured(dyn, *args)
+    np.testing.assert_array_equal(np.asarray(dense.p_dense), np.asarray(struct.p_dense))
+    np.testing.assert_array_equal(np.asarray(dense.q), np.asarray(struct.q))
+    np.testing.assert_array_equal(np.asarray(dense.l), np.asarray(struct.l))
+    np.testing.assert_array_equal(np.asarray(dense.u), np.asarray(struct.u))
+    n = 16
+    nb = n * 4
+    face_rows = np.arange(nb * 4).reshape(nb, 4)
+    blk_cols = np.arange(nb * 3).reshape(nb, 3)
+    A = np.asarray(dense.A)
+    np.testing.assert_array_equal(
+        A[face_rows[:, :, None], blk_cols[:, None, :]], np.asarray(struct.C)
+    )
+    # off-block friction entries are exactly zero; box rows are the identity
+    mask = np.zeros_like(A[: nb * 4], dtype=bool)
+    mask[face_rows[:, :, None], blk_cols[:, None, :]] = True
+    assert (A[: nb * 4][~mask] == 0.0).all()
+    np.testing.assert_array_equal(A[nb * 4 :], np.eye(n * 12, dtype=A.dtype))
+
+
+def test_structured_ruiz_matches_dense(scenario):
+    """ruiz_equilibrate_structured reproduces the dense Ruiz scalings
+    bit-for-bit (d, e, c and the scaled block entries)."""
+    sc = scenario
+    dyn = make_dyn(sc)
+    args = (
+        jnp.asarray(sc["x0"], jnp.float32),
+        jnp.asarray(sc["x_ref"], jnp.float32),
+        jnp.asarray(sc["contact"]),
+        jnp.asarray(Q_DIAG, jnp.float32),
+        R_VAL,
+        MU,
+        FZ_MIN,
+    )
+    dense, _ = condensed.build_condensed(dyn, *args)
+    struct, _ = condensed.build_condensed_structured(dyn, *args)
+    s_d = admm.ruiz_equilibrate(dense, 10)
+    B1 = jax.tree.map(lambda x: x[None], struct)
+    s_s = admm.ruiz_equilibrate_structured(
+        B1.p_dense, B1.q, B1.C, jnp.ones_like(B1.q), B1.l, B1.u, 10
+    )
+    np.testing.assert_allclose(np.asarray(s_s.d[0]), np.asarray(s_d.d), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(s_s.e[0]), np.asarray(s_d.e), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(s_s.c[0]), np.asarray(s_d.c), rtol=0, atol=0)
+    n = 16
+    nb = n * 4
+    face_rows = np.arange(nb * 4).reshape(nb, 4)
+    blk_cols = np.arange(nb * 3).reshape(nb, 3)
+    A_s = np.asarray(s_d.A)
+    np.testing.assert_allclose(
+        A_s[face_rows[:, :, None], blk_cols[:, None, :]], np.asarray(s_s.C[0]),
+        rtol=0, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.diagonal(A_s[nb * 4 :]), np.asarray(s_s.box_diag[0]), rtol=0, atol=1e-7
+    )

@@ -87,3 +87,28 @@ def test_kernel_on_real_qp():
     u_k = np.asarray(sol_k.x).reshape(16, 12)
     scale = max(np.abs(u_ref).max(), 1.0)
     assert np.abs(u_k - u_ref).max() / scale < 0.005
+
+
+def test_spd_inverse_interpret_matches_xla():
+    """The Pallas SPD-inverse kernel (ops/chol_kernel.py) agrees with the
+    XLA Cholesky + triangular-solve path at the f32 reassociation level
+    (interpret mode — the kernel itself, not the CPU fallback)."""
+    from convex_mpc_tpu.ops.chol_kernel import spd_inverse
+
+    rng = np.random.default_rng(7)
+    B, n = 5, 96
+    M = rng.normal(size=(B, n, n)).astype(np.float32)
+    A = jnp.asarray(M @ np.swapaxes(M, -1, -2) / n + 3.0 * np.eye(n, dtype=np.float32))
+    out_k = spd_inverse(A, blk=32, block_k=2, interpret=True)
+    L = jnp.linalg.cholesky(A)
+    Li = jax.scipy.linalg.solve_triangular(
+        L, jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), L.shape), lower=True
+    )
+    ref = jnp.matmul(jnp.swapaxes(Li, -1, -2), Li, precision=jax.lax.Precision.HIGHEST)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(ref), atol=5e-5 * scale, rtol=0
+    )
+    # and it actually inverts: A @ out ~ I
+    resid = jnp.matmul(A, out_k, precision=jax.lax.Precision.HIGHEST) - jnp.eye(n)
+    assert float(jnp.max(jnp.abs(resid))) < 1e-4
