@@ -5,14 +5,21 @@ Measures full engine cycles (reference regeneration + QP assembly + QP solve
 solves/s/chip — the BASELINE.json primary metric. One cycle = one
 16-step-horizon QP + 20 rollout steps per scenario.
 
-The headline number uses the PRODUCTION configuration: the batch-global
-adaptive solver (admm.solve_adaptive via engine.mpc_cycle_batch) with an
-escalation cap (max_iter=1000) at or above every cap certified to complete
-the full 10 s reference command schedule — i.e. the throughput of the configuration the robustness
-claims hold for, not of a weakened fixed-iteration setting. The JSON also
-records the solver configuration, the measured mean iterations/cycle, and
-the legacy fixed-iteration path at 150/400 iters as the iters->throughput
-reference curve.
+Methodology notes:
+- The headline uses the PRODUCTION configuration: the batch-global adaptive
+  solver (engine.mpc_cycle_batch -> admm.solve_adaptive) with certified
+  polish accepts and the escalation cap (max_iter=1000) that completes the
+  full 10 s reference command schedule — i.e. the throughput of the
+  configuration the robustness claims hold for.
+- A timing window is 16 CONSECUTIVE cycles = one full gait period, so every
+  contact-mask phase (including the expensive mask-edge warm-start cycles)
+  is represented in every window; a short window that samples only
+  mid-stance phases overstates throughput by ~10-20%.
+- Best-of-3 windows filters the tunnel-attached backend's transient
+  throttling (measured 2-4x spikes on identical programs), not workload
+  variance — every window already covers all phases.
+- The legacy fixed-iteration engine path at 150/400 iters is reported as
+  the iters->throughput reference curve.
 
 vs_baseline: the reference runs ONE robot at its 48 Hz MPC rate on a CPU
 (real-time budget 20.8 ms/solve, README.md:177-184 — barely met). Each
@@ -22,16 +29,17 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 512
+BATCH = int(os.environ.get("BENCH_BATCH", "512"))
 MAX_ITER = 1000  # adaptive escalation cap (certified: completes the schedule)
 WINDOWS = 3
-CYCLES_PER_WINDOW = 5
+CYCLES_PER_WINDOW = 16  # one full gait period: all contact phases sampled
 
 
 def main():
@@ -69,33 +77,35 @@ def main():
             return s2, jnp.zeros(())
         return jax.jit(jax.vmap(step))
 
-    def best_window(fn, s):
-        # every fn returns (EngineState, aux) — EngineState itself is a
-        # NamedTuple, so discriminate by position, never isinstance(tuple)
+    def best_window(fn, s, windows=WINDOWS):
         s, aux = fn(s)
-        for _ in range(2):  # settle warm starts
+        for _ in range(CYCLES_PER_WINDOW - 1):  # settle one full gait period
             s, aux = fn(s)
         jax.block_until_ready(s)
         best = float("inf")
-        for _ in range(WINDOWS):
+        iters_log = []
+        for _ in range(windows):
             t0 = time.perf_counter()
             for _ in range(CYCLES_PER_WINDOW):
                 s, aux = fn(s)
+                iters_log.append(aux)
             jax.block_until_ready(s)
             best = min(best, time.perf_counter() - t0)
-        return best, s, aux
+        return best, s, iters_log
 
     fn_ada = jax.jit(adaptive_step)
-    t_ada, state_ada, iters_last = best_window(fn_ada, state_b)
+    t_ada, state_ada, iters_log = best_window(fn_ada, state_b)
     solves_ada = BATCH * CYCLES_PER_WINDOW / t_ada
-    iters_mean = float(np.asarray(iters_last).mean())
+    it = np.concatenate([np.atleast_1d(np.asarray(x)) for x in iters_log])
 
     # legacy fixed-iteration reference points (iters -> throughput curve)
     curve = {}
     for iters in (150, 400):
         fn = fixed_step_fn(iters)
-        t_fix, _, _ = best_window(fn, state_b)
-        curve[f"fixed{iters}_solves_per_s"] = round(BATCH * CYCLES_PER_WINDOW / t_fix, 1)
+        t_fix, _, _ = best_window(fn, state_b, windows=1)
+        curve[f"fixed{iters}_solves_per_s"] = round(
+            BATCH * CYCLES_PER_WINDOW / t_fix, 1
+        )
 
     # health: the adaptive-path batch must still be upright after the bench
     z = np.asarray(state_ada.plant.q[:, 2])
@@ -109,9 +119,11 @@ def main():
                 "unit": "solves/s/chip (each = 16-step QP + 20 x 1kHz rollout ticks)",
                 "vs_baseline": round(solves_ada / 48.0, 2),
                 "batch": BATCH,
-                "solver": "adaptive",
+                "solver": "adaptive+certified-polish, structured QP, pallas kernels",
                 "solver_max_iter": MAX_ITER,
-                "iters_mean": round(iters_mean, 1),
+                "window": "16-cycle full gait period, best of 3",
+                "iters_mean": round(float(it.mean()), 1),
+                "iters_p99": round(float(np.percentile(it, 99)), 1),
                 "healthy": ok,
                 **curve,
             }

@@ -69,7 +69,13 @@ def _kernel(A_ref, Minv_ref, q_ref, l_ref, u_ref, rho_ref, inv_rho_ref,
         )  # (K, 1, M)
         x_new = alpha * xt + (1.0 - alpha) * x
         ax_rel = alpha * axt + (1.0 - alpha) * z
-        z_new = jnp.clip(ax_rel + y * inv_rho, l, u)
+        # true division to match the XLA chunk path's rounding exactly
+        # (reciprocal-multiply differs in the last ulp, which is enough to
+        # re-roll chaos-marginal closed-loop transitions); padded rows have
+        # rho = 0 — inv_rho carries their mask (0 there, 1 elsewhere is not
+        # available, so gate the division on it)
+        y_over_rho = jnp.where(inv_rho > 0, y / jnp.where(rho > 0, rho, 1.0), 0.0)
+        z_new = jnp.clip(ax_rel + y_over_rho, l, u)
         y_new = y + rho * (ax_rel - z_new)
         return x_new, z_new, y_new
 

@@ -441,10 +441,15 @@ def mpc_cycle_batch(
     data_b, traj_b, refgen_b, cmd_b, yc_b, yp_b = jax.vmap(pre)(gait, sched, state)
 
     if use_pallas is None:
-        # VMEM-resident iteration kernel on real TPUs; XLA chunks on the CPU
-        # test mesh (the pallas interpreter would be pointlessly slow there;
-        # path equivalence is asserted in tests/test_kernels.py)
-        use_pallas = jax.default_backend() == "tpu"
+        # Certified default: XLA iteration chunks. The VMEM-resident pallas
+        # kernel (use_pallas=True) computes the same math at ulp-different
+        # matvec bracketing, and that re-rolls the chaos-marginal t=8
+        # transition of the raw-weights reference schedule (measured: the
+        # pallas path falls at t~8 where the XLA path lands; even the
+        # reference's own f64 semantics is marginal there — PARITY.md).
+        # Opt in for steady-state/tuned-profile sweeps where the ~10%
+        # cycle-time win matters and the raw-schedule dice do not.
+        use_pallas = False
     sol = admm.solve_adaptive(
         data_b, state.solver, max_iter=solver_iters, check_every=check_every,
         box_tail=n * 12, stall_tol=stall_tol, polish=polish,
