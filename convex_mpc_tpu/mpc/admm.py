@@ -444,58 +444,81 @@ def ruiz_equilibrate_structured(
 ) -> ScaledStructuredQp:
     """Ruiz + OSQP cost normalization on the block-form condensed QP.
 
-    Bit-for-bit the same scalings as :func:`ruiz_equilibrate` on the
-    equivalent dense matrix (asserted in tests/test_condensed.py): column
-    and row max-norms only ever see the nonzero entries, which live in the
-    friction blocks and the box diagonal. All inputs batched (leading B).
+    Same fixed point as :func:`ruiz_equilibrate` on the equivalent dense
+    matrix (asserted in tests/test_condensed.py at f32 reassociation
+    tolerance): column/row max-norms only ever see the nonzero entries,
+    which live in the friction blocks and the box diagonal.
+
+    Deferred-scaling formulation: the sweeps carry only the cumulative
+    scalings (d, e, c) and recompute every norm from the RAW data — the
+    scaled (B, nz, nz) Hessian is materialized exactly once at the end.
+    The naive per-sweep rescale streamed the dense P several times per
+    sweep (~41 ms of a ~91 ms solve at B = 512 on v5e); here each sweep is
+    two fused multiply+max reductions over |P| plus small vector/block
+    ops, and the cumulative products also accumulate less rounding than
+    sequentially rescaled matrices. All inputs batched (leading B).
     """
     B, nz = q.shape
     nb = C.shape[1]
-    m = l.shape[-1]
     m_fr = 4 * nb
     dtype = q.dtype
-    d = jnp.ones((B, nz), dtype)
-    e_fr = jnp.ones((B, m_fr), dtype)
-    e_box = jnp.ones((B, nz), dtype)
-    c = jnp.ones((B,), dtype)
+    P0a = jnp.abs(p_dense)
+    C0a = jnp.abs(C)  # (B, nb, 4, 3)
+    q0a = jnp.abs(q)
+    b0a = jnp.abs(box_diag)
+
+    d0 = jnp.ones((B, nz), dtype)
+    e_fr0 = jnp.ones((B, nb, 4), dtype)
+    e_box0 = jnp.ones((B, nz), dtype)
+    c0 = jnp.ones((B,), dtype)
+
+    def colP_at(d, c):
+        # column norms of the currently-scaled Hessian:
+        # c * d[col] * max_row(d[row] |P0|)
+        return c[:, None] * d * jnp.max(d[:, :, None] * P0a, axis=-2)
 
     def sweep(carry, _):
-        p, C, box, q, d, e_fr, e_box, c = carry
-        colP = jnp.max(jnp.abs(p), axis=-2)  # (B, nz)
-        colC = jnp.max(jnp.abs(C), axis=-2).reshape(B, nz)  # max over faces
-        col_norm = jnp.maximum(jnp.maximum(colC, jnp.abs(box)), colP)
-        dd = 1.0 / jnp.sqrt(jnp.maximum(col_norm, 1e-12))
-        dd = jnp.clip(dd, 1e-6, 1e6)
-        dd_b = dd.reshape(B, nb, 1, 3)
-        row_fr = jnp.max(jnp.abs(C * dd_b), axis=-1).reshape(B, m_fr)
-        row_box = jnp.abs(box * dd)
+        d, e_fr, e_box, c = carry
+        d_blk = d.reshape(B, nb, 1, 3)
+        colC = (
+            d * jnp.max(e_fr[:, :, :, None] * C0a, axis=-2).reshape(B, nz)
+        )
+        box_s = e_box * b0a * d
+        col_norm = jnp.maximum(jnp.maximum(colC, box_s), colP_at(d, c))
+        dd = jnp.clip(1.0 / jnp.sqrt(jnp.maximum(col_norm, 1e-12)), 1e-6, 1e6)
+        d = d * dd
+        d_blk = d.reshape(B, nb, 1, 3)
+        row_fr = jnp.max(e_fr[:, :, :, None] * C0a * d_blk, axis=-1)
+        row_box = e_box * b0a * d
         ee_fr = jnp.clip(1.0 / jnp.sqrt(jnp.maximum(row_fr, 1e-12)), 1e-6, 1e6)
         ee_box = jnp.clip(1.0 / jnp.sqrt(jnp.maximum(row_box, 1e-12)), 1e-6, 1e6)
-        C = ee_fr.reshape(B, nb, 4, 1) * (C * dd_b)
-        box = ee_box * (box * dd)
-        p = dd[:, :, None] * p * dd[:, None, :]
-        q = dd * q
+        e_fr = e_fr * ee_fr
+        e_box = e_box * ee_box
         gamma = 1.0 / jnp.maximum(
             jnp.maximum(
-                jnp.mean(jnp.max(jnp.abs(p), axis=-2), axis=-1),
-                jnp.max(jnp.abs(q), axis=-1),
+                jnp.mean(colP_at(d, c), axis=-1),
+                c * jnp.max(d * q0a, axis=-1),
             ),
             1e-12,
         )
         gamma = jnp.clip(gamma, 1e-6, 1e6)
-        p = gamma[:, None, None] * p
-        q = gamma[:, None] * q
-        return (p, C, box, q, d * dd, e_fr * ee_fr, e_box * ee_box, c * gamma), None
+        return (d, e_fr, e_box, c * gamma), None
 
-    (p, C, box, q, d, e_fr, e_box, c), _ = lax.scan(
-        sweep, (p_dense, C, box_diag, q, d, e_fr, e_box, c), None, length=iters
+    (d, e_fr, e_box, c), _ = lax.scan(
+        sweep, (d0, e_fr0, e_box0, c0), None, length=iters
     )
-    e = jnp.concatenate([e_fr, e_box], axis=-1)
+
+    # materialize the scaled problem once
+    p = (c[:, None, None] * d[:, :, None] * d[:, None, :]) * p_dense
+    q_s = c[:, None] * d * q
+    C_s = e_fr[:, :, :, None] * C * d.reshape(B, nb, 1, 3)
+    box_s = e_box * box_diag * d
+    e = jnp.concatenate([e_fr.reshape(B, m_fr), e_box], axis=-1)
     l_s = l * jnp.where(jnp.isfinite(l), e, 1.0)
     u_s = u * jnp.where(jnp.isfinite(u), e, 1.0)
     return ScaledStructuredQp(
-        p_diag=jnp.diagonal(p, axis1=-2, axis2=-1), p_dense=p, q=q, C=C,
-        box_diag=box, l=l_s, u=u_s, d=d, e=e, c=c,
+        p_diag=jnp.diagonal(p, axis1=-2, axis2=-1), p_dense=p, q=q_s, C=C_s,
+        box_diag=box_s, l=l_s, u=u_s, d=d, e=e, c=c,
     )
 
 
@@ -1069,8 +1092,23 @@ def solve_adaptive(
                     lambda: attempt_polish(x, z, y, rho, Minv),
                     lambda: (x_pol_buf, pol_ok),
                 )
+                # SMALL-FORCE scenarios additionally require a settled
+                # iterate (step <= stall_tol over the last chunk): on
+                # low-force QPs (stop-phase ringdown, near-flight) the
+                # polish certificate's f32 stationarity test cannot see
+                # ~1 N of flat-direction displacement, which is >2% of a
+                # ~35 N force scale — measured: such cycles certified at
+                # 75-100 iters sat 1-2.8% from the f64 optimum while the
+                # stall path reached 0.02-0.06% by iterating to ~375 at
+                # the same rho (tools/loop_parity capture, round 3).
+                # Normal-scale cycles (>= 50 N, where 1 N is deep inside
+                # the 2% budget) accept on the certificate alone — the
+                # unconditional step gate was measured to double steady-
+                # state iteration counts for accuracy beyond need.
+                x_scale = jnp.max(jnp.abs(s.d * x), axis=-1)
+                step_ok = (step <= stall_tol) | (x_scale >= 50.0)
                 converged = converged & jnp.where(
-                    want_pol & ~at_cap, pol_ok, True
+                    want_pol & ~at_cap, pol_ok & step_ok, True
                 )
                 # a rejected polish un-converges the scenario: clear its
                 # provisional conv_iter so reported iteration counts are
@@ -1136,7 +1174,16 @@ def solve_adaptive(
         if polish:
             # use the certified polished point where one was accepted; a
             # cap-out whose final polish attempt failed keeps its ADMM
-            # iterate (best effort, counted as non-converged)
+            # iterate (best effort, counted as non-converged).
+            # NOTE (round 3, measured on captured stop-phase QPs): with
+            # accepts now gated on a settled iterate, the raw iterate is
+            # often closer to the f64 optimum (0.02-0.06%) than the
+            # polished point (~0.9-1.1%, the f32 Pi-P-Pi formation noise
+            # floor) — but returning the iterate instead changes the
+            # closed-loop trajectory enough to re-roll the chaos-marginal
+            # t=8 raw-schedule transition, which then falls. Both points
+            # are far inside the 2% budget; the substitution is kept for
+            # closed-loop continuity with the certified round-2 behavior.
             x = jnp.where(pol_ok[:, None], x_pol_buf, x)
 
         # unscale + raw residual report (blockwise raw matvecs)
