@@ -187,3 +187,26 @@ def test_structured_qp_matches_dense_path(qp_batch, dyn):
     np.testing.assert_allclose(
         np.asarray(sol_d.x), np.asarray(sol_s.x), rtol=0, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("n", [10, 24])
+def test_mpc_cycle_batch_horizons(dyn, n):
+    """The structured adaptive path is horizon-generic: n=24 exercises the
+    nz%32==0 SPD-kernel-eligible branch (XLA fallback on CPU), n=10 the
+    non-divisible fallback branch."""
+    B = 2
+    gait_b = E.broadcast_batch(G.make_gait_params(3.0, 0.6), B)
+    contact_b = E.broadcast_batch(P.default_contact(), B)
+    sched_b = E.broadcast_batch(E.constant_schedule(vx=0.3), B)
+    state = E.init_state(dyn, n=n)
+    state = state._replace(plant=P.init_plant(dyn))
+    sb = E.broadcast_batch(state, B)
+    mpc_dt = (1.0 / 3.0) / n
+    s = sb
+    for _ in range(6):
+        s, log = E.mpc_cycle_batch(
+            dyn, gait_b, contact_b, sched_b, s, n=n, solver_iters=400,
+            mpc_dt=mpc_dt,
+        )
+    z = np.asarray(s.plant.q[:, 2])
+    assert np.isfinite(z).all() and (z > 0.15).all() and (z < 0.45).all(), z

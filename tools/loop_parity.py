@@ -94,8 +94,17 @@ def main():
     # the independent native f64 oracle in a worker pool — the oracle
     # solves (up to 60k f64 ADMM iterations each) dominate wall time and
     # are embarrassingly parallel once decoupled from the sequential loop.
+    from convex_mpc_tpu.control import leg as LG
+    from convex_mpc_tpu.models.go2_params import DEFAULT_PARAMS as _gp
+
+    tau_lim = np.minimum(
+        np.array([_gp.hip_torque_max, _gp.thigh_torque_max, _gp.calf_torque_max]),
+        45.0,
+    )  # engine clip: min(per-joint ctrlrange, reference TAU_MAX)
+
     n_cycles = int(round(args.seconds * 50))  # one cycle = 20 ms sim
     qps, u0s, iters, heights, warms = [], [], [], [], []
+    jacs, masks = [], []
     for cyc in range(n_cycles):
         if args.save:
             # warm-start state ENTERING this cycle's solve, so any flagged
@@ -120,6 +129,15 @@ def main():
             np.asarray(traj.contact), Q, 1e-5, 0.8, 10.0,
         )
         qps.append(d)
+        # leg Jacobians + stance mask at the state the force acts on, for
+        # the applied-torque parity report (stance map tau = J_leg'(-f),
+        # clipped — what actually reaches the actuators)
+        leg_obs = LG.make_leg_obs(dyn, state.plant.q, state.plant.dq, state.yaw_cont)
+        jacs.append(np.stack([
+            np.asarray(leg_obs.J_feet[l, :, 6 + 3 * l : 9 + 3 * l], float)
+            for l in range(4)
+        ]))
+        masks.append(np.asarray(G.current_mask(gait, state.t), float))
 
         # step the engine (its own solve, warm-started)
         if args.adaptive:
@@ -151,11 +169,19 @@ def main():
     with ctx.Pool(min(4, mp.cpu_count())) as pool:
         refs = pool.map(_oracle_solve, qps, chunksize=8)
 
-    errs, fzs = [], []
-    for u0, u_ref0 in zip(u0s, refs):
+    def tau_of(f12, J, mask):
+        """Applied stance torques: tau_leg = J_leg'(-f_leg), engine clip."""
+        f = f12.reshape(4, 3) * mask[:, None]
+        tau = np.einsum("lji,lj->li", J, -f)
+        return np.clip(tau, -tau_lim, tau_lim)
+
+    errs, fzs, tau_errs = [], [], []
+    for u0, u_ref0, J, mk in zip(u0s, refs, jacs, masks):
         scale = max(np.abs(u_ref0).max(), 1.0)
         errs.append(np.abs(u0 - u_ref0).max() / scale)
         fzs.append(u_ref0[2::3].sum())
+        dtau = tau_of(u0, J, mk) - tau_of(u_ref0, J, mk)
+        tau_errs.append(np.abs(dtau / tau_lim).max())  # % of actuator range
 
     errs = np.asarray(errs) * 100
     it = np.asarray(iters)
@@ -184,6 +210,11 @@ def main():
         f"in-loop applied-force error vs f64 optimum [%]: "
         f"mean {errs.mean():.3f}  p95 {np.percentile(errs, 95):.3f}  max {errs.max():.3f}"
     )
+    te = np.asarray(tau_errs) * 100
+    print(
+        f"applied-TORQUE error (post J'(-f) + actuator clip) [% of range]: "
+        f"mean {te.mean():.3f}  p95 {np.percentile(te, 95):.3f}  max {te.max():.3f}"
+    )
     print(f"solver iters: mean {it.mean():.0f}  p95 {np.percentile(it, 95):.0f}  "
           f"max {it.max()}")
     n_over = int((errs > 2.0).sum())
@@ -193,7 +224,8 @@ def main():
         for w in sorted(worst):
             if errs[w] > 2.0:
                 print(f"  cycle {w:4d} t={w * 0.02:5.2f}s  err {errs[w]:6.2f}%  "
-                      f"iters {iters[w]}  sum_fz_ref {fzs[w]:7.1f} N")
+                      f"iters {iters[w]}  sum_fz_ref {fzs[w]:7.1f} N  "
+                      f"tau_err {te[w]:5.2f}% of range")
     # adaptive path (iteration escalation) must leave ZERO cycles over budget;
     # the fixed path tolerates up to 2% of cycles (documented round-1 gap)
     ok = n_over == 0 if args.adaptive else (errs > 2.0).mean() < 0.02
