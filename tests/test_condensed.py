@@ -156,8 +156,9 @@ def test_structured_build_matches_dense(scenario):
 
 
 def test_structured_ruiz_matches_dense(scenario):
-    """ruiz_equilibrate_structured reproduces the dense Ruiz scalings
-    bit-for-bit (d, e, c and the scaled block entries)."""
+    """ruiz_equilibrate_structured reproduces the dense Ruiz scalings at the
+    f32 reassociation level (the deferred-scaling form computes the same
+    products in a different association order)."""
     sc = scenario
     dyn = make_dyn(sc)
     args = (
@@ -176,9 +177,9 @@ def test_structured_ruiz_matches_dense(scenario):
     s_s = admm.ruiz_equilibrate_structured(
         B1.p_dense, B1.q, B1.C, jnp.ones_like(B1.q), B1.l, B1.u, 10
     )
-    np.testing.assert_allclose(np.asarray(s_s.d[0]), np.asarray(s_d.d), rtol=0, atol=0)
-    np.testing.assert_allclose(np.asarray(s_s.e[0]), np.asarray(s_d.e), rtol=0, atol=0)
-    np.testing.assert_allclose(np.asarray(s_s.c[0]), np.asarray(s_d.c), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(s_s.d[0]), np.asarray(s_d.d), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_s.e[0]), np.asarray(s_d.e), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_s.c[0]), np.asarray(s_d.c), rtol=1e-5)
     n = 16
     nb = n * 4
     face_rows = np.arange(nb * 4).reshape(nb, 4)
@@ -186,8 +187,8 @@ def test_structured_ruiz_matches_dense(scenario):
     A_s = np.asarray(s_d.A)
     np.testing.assert_allclose(
         A_s[face_rows[:, :, None], blk_cols[:, None, :]], np.asarray(s_s.C[0]),
-        rtol=0, atol=1e-7,
+        rtol=1e-5, atol=1e-7,
     )
     np.testing.assert_allclose(
-        np.diagonal(A_s[nb * 4 :]), np.asarray(s_s.box_diag[0]), rtol=0, atol=1e-7
+        np.diagonal(A_s[nb * 4 :]), np.asarray(s_s.box_diag[0]), rtol=1e-5, atol=1e-7
     )
