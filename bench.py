@@ -98,11 +98,14 @@ def main():
     solves_ada = BATCH * CYCLES_PER_WINDOW / t_ada
     it = np.concatenate([np.atleast_1d(np.asarray(x)) for x in iters_log])
 
-    # legacy fixed-iteration reference points (iters -> throughput curve)
+    # legacy fixed-iteration reference points (iters -> throughput curve).
+    # Best-of-3 like the headline: the tunnel-attached backend shows 2-4x
+    # transient throttling on identical programs, and a single window would
+    # expose the curve to exactly that noise.
     curve = {}
     for iters in (150, 400):
         fn = fixed_step_fn(iters)
-        t_fix, _, _ = best_window(fn, state_b, windows=1)
+        t_fix, _, _ = best_window(fn, state_b)
         curve[f"fixed{iters}_solves_per_s"] = round(
             BATCH * CYCLES_PER_WINDOW / t_fix, 1
         )

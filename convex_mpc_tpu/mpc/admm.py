@@ -530,7 +530,7 @@ def ruiz_equilibrate_structured(
     static_argnames=(
         "max_iter", "check_every", "scaling_iters", "box_tail",
         "rho_refactor_ratio", "setup_precision", "debug", "polish",
-        "polish_rounds", "use_pallas",
+        "polish_rounds", "use_pallas", "nu", "small_force_scale",
     ),
 )
 def solve_adaptive(
@@ -554,6 +554,8 @@ def solve_adaptive(
     polish: bool = True,
     polish_rounds: int = 3,
     use_pallas: bool = False,
+    nu: int = 12,
+    small_force_scale: float = 50.0,
 ) -> AdmmSolution:
     """Batched adaptive-iteration ADMM with refactor-on-demand.
 
@@ -589,6 +591,8 @@ def solve_adaptive(
         assert box_tail > 0, "solve_adaptive requires the condensed box_tail form"
         nb = nz // 3
         assert m_fr == 4 * nb, "condensed layout: 4 pyramid rows per block"
+        assert nz % nu == 0, "nu must divide nz (per-step force block width)"
+        first_step_vars = nu  # applied-force block: the first horizon step
         face_rows = jnp.asarray(np.arange(m_fr).reshape(nb, 4))
         blk_cols = jnp.asarray(np.arange(nz).reshape(nb, 3))
 
@@ -602,8 +606,28 @@ def solve_adaptive(
             C_raw = qp.C  # (B, nb, 4, 3)
             box_diag_raw = jnp.ones((B, nz), dtype)
         else:  # dense QpData: extract the blocks once
+            # CONTRACT: a dense A must carry the condensed block structure —
+            # friction rows local to one (step, leg) 3-column block followed
+            # by a diagonal box tail. Off-block nonzeros are NOT represented
+            # (all matvecs below run blockwise) and would be silently
+            # dropped; under debug=True the reconstruction is checked.
             C_raw = qp.A[:, face_rows[:, :, None], blk_cols[:, None, :]]
             box_diag_raw = jnp.diagonal(qp.A[:, m_fr:, :], axis1=-2, axis2=-1)
+            if debug:
+                A_rec = (
+                    jnp.zeros_like(qp.A)
+                    .at[:, face_rows[:, :, None], blk_cols[:, None, :]]
+                    .set(C_raw)
+                )
+                A_rec = A_rec.at[:, m_fr:, :].set(
+                    box_diag_raw[:, :, None] * jnp.eye(nz, dtype=dtype)
+                )
+                off_block = jnp.max(jnp.abs(qp.A - A_rec))
+                jax.debug.print(
+                    "solve_adaptive dense-A off-block max |a| = {v} "
+                    "(must be 0: off-block entries are dropped)",
+                    v=off_block,
+                )
 
         s = ruiz_equilibrate_structured(
             qp.p_dense, qp.q, C_raw, box_diag_raw, qp.l, qp.u,
@@ -991,9 +1015,13 @@ def solve_adaptive(
                 x_k, y_k, st_k = polish_once(a_lo, a_hi)
                 ok_k = certify(a_lo, a_hi, x_k, y_k, st_k)
                 o_k = jnp.where(ok_k, obj(x_k), big)
-                take = o_k < best_obj
+                # freeze a scenario's certified point: later rounds (which
+                # only run because some OTHER scenario is uncertified) must
+                # not swap an already-certified result, or per-scenario
+                # answers would depend on batch composition
+                take = (o_k < best_obj) & ~ok_pol
                 x_pol_raw = jnp.where(take[:, None], x_k, x_pol_raw)
-                best_obj = jnp.minimum(o_k, best_obj)
+                best_obj = jnp.where(take, o_k, best_obj)
                 ok_pol = ok_pol | ok_k
                 a_lo, a_hi = refine(a_lo, a_hi, x_k, y_k)
                 return (a_lo, a_hi, x_pol_raw, best_obj, ok_pol, r + 1)
@@ -1109,8 +1137,13 @@ def solve_adaptive(
                 # applied to the plant and the ones parity measures): a
                 # stop-phase cycle can command ~34 N now with >100 N later
                 # in the horizon, and it is the 34 N that must be accurate.
-                x_scale = jnp.max(jnp.abs((s.d * x)[:, :12]), axis=-1)
-                step_ok = (step <= stall_tol) | (x_scale >= 50.0)
+                # The block width is the per-step force count from the
+                # layout (4 legs x 3 = 12 for Go2); the threshold scales
+                # with the robot (small_force_scale ~ m g / 3 for Go2).
+                x_scale = jnp.max(
+                    jnp.abs((s.d * x)[:, :first_step_vars]), axis=-1
+                )
+                step_ok = (step <= stall_tol) | (x_scale >= small_force_scale)
                 converged = converged & jnp.where(
                     want_pol & ~at_cap, pol_ok & step_ok, True
                 )

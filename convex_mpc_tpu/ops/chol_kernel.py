@@ -67,7 +67,16 @@ def _chol_unrolled(Akk, blk: int):
     cols = []
     for k in range(blk):
         col_raw = Akk[:, :, k]  # (K, blk)
-        lkk_inv = jax.lax.rsqrt(jnp.maximum(col_raw[:, k], 1e-30))
+        pivot = col_raw[:, k]
+        # non-SPD input => NaN pivot column, like XLA's cholesky (the NaN
+        # then spreads through the trailing update and the output, so a bad
+        # matrix is detectable downstream instead of silently producing
+        # large finite garbage)
+        lkk_inv = jnp.where(
+            pivot > 0.0,
+            jax.lax.rsqrt(jnp.maximum(pivot, 1e-30)),
+            jnp.float32(jnp.nan),
+        )
         col = col_raw * lkk_inv[:, None]
         col = col * (rows >= k).astype(_F32)
         Akk = Akk - col[:, :, None] * col[:, None, :]
@@ -189,6 +198,9 @@ def spd_inverse(
     """
     b, n, n2 = A.shape
     assert n == n2 and n % blk == 0, (A.shape, blk)
+    # f32 only: the kernel accumulates in f32 on the MXU; silently casting
+    # an f64 input would discard precision the caller asked for
+    assert A.dtype == jnp.float32, f"spd_inverse is f32-only, got {A.dtype}"
     if interpret is None:
         interpret = False
     if jax.default_backend() != "tpu" and not interpret:

@@ -453,7 +453,7 @@ def mpc_cycle_batch(
     sol = admm.solve_adaptive(
         data_b, state.solver, max_iter=solver_iters, check_every=check_every,
         box_tail=n * 12, stall_tol=stall_tol, polish=polish,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, nu=condensed.NU,
     )
     u0_b = sol.x[:, 0:12].reshape(-1, 4, 3)
 

@@ -1,14 +1,16 @@
-"""Equivalence tests for the blocked linear-algebra kernels in ops/linalg.py.
+"""Equivalence tests for ops/linalg.py and the bench-only blocked kernels.
 
-``blocked_cholesky`` / ``blocked_tri_inverse`` are the MXU-tiled
-alternatives to XLA's monolithic batched factorizations, measured by
-``tools/kkt_microbench.py`` and ``tools/solve_ablation.py``. The round-2
-in-program ablation found them only ~1.4x on the tri-solve at the QP's
-n=192, so the production solver (`mpc/admm.py`) instead cuts refactor
-*frequency* (refactor-on-demand behind a scalar ``lax.cond``); the blocked
-kernels stay bench-only. Their correctness is asserted here regardless so
-the microbenchmarks measure the real operation.
+``blocked_cholesky`` / ``blocked_tri_inverse`` (tools/blocked_linalg.py —
+relocated out of the shipped package, they lost to refactor-on-demand and
+the Pallas SPD inverse on the hot path) are the MXU-tiled alternatives to
+XLA's monolithic batched factorizations, measured by
+``tools/kkt_microbench.py`` and ``tools/solve_ablation.py``. Their
+correctness is asserted here regardless so the microbenchmarks measure the
+real operation.
 """
+
+import sys
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -16,6 +18,9 @@ import numpy as np
 import pytest
 
 from convex_mpc_tpu.ops import linalg as lx
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+import blocked_linalg as blx  # noqa: E402
 
 
 def _spd_batch(key, batch, n, dtype=jnp.float32):
@@ -27,7 +32,7 @@ def _spd_batch(key, batch, n, dtype=jnp.float32):
 def test_blocked_cholesky_matches_xla(n, block):
     M = _spd_batch(jax.random.PRNGKey(0), 3, n)
     L_ref = jnp.linalg.cholesky(M)
-    L_blk = lx.blocked_cholesky(M, block=block)
+    L_blk = blx.blocked_cholesky(M, block=block)
     scale = float(jnp.abs(L_ref).max())
     np.testing.assert_allclose(
         np.asarray(L_blk), np.asarray(L_ref), atol=2e-4 * scale
@@ -41,7 +46,7 @@ def test_blocked_cholesky_matches_xla(n, block):
 def test_blocked_tri_inverse_matches_solve(n, block):
     M = _spd_batch(jax.random.PRNGKey(1), 3, n)
     L = jnp.linalg.cholesky(M)
-    X = lx.blocked_tri_inverse(L, block=block)
+    X = blx.blocked_tri_inverse(L, block=block)
     # X must satisfy L @ X = I to f32 working precision
     resid = lx.mm(L, X) - jnp.eye(n, dtype=L.dtype)
     assert float(jnp.abs(resid).max()) < 5e-5
@@ -125,8 +130,8 @@ def test_blocked_kernels_compose_to_spd_inverse():
     # microbench exercises (admm.py:245 uses the same Minv-as-matmul form).
     n = 192
     M = _spd_batch(jax.random.PRNGKey(2), 2, n)
-    L = lx.blocked_cholesky(M, block=64)
-    X = lx.blocked_tri_inverse(L, block=64)
+    L = blx.blocked_cholesky(M, block=64)
+    X = blx.blocked_tri_inverse(L, block=64)
     Minv = lx.mm(jnp.swapaxes(X, -1, -2), X)
     resid = lx.mm(M, Minv) - jnp.eye(n, dtype=M.dtype)
     assert float(jnp.abs(resid).max()) < 2e-3

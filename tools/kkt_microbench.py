@@ -30,6 +30,9 @@ from jax import lax
 
 from convex_mpc_tpu.ops import linalg as lx
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+import blocked_linalg as blx  # noqa: E402
+
 
 def best_of(fn, *args, n=5):
     fn(*args)  # compile
@@ -66,7 +69,7 @@ def main():
 
     @jax.jit
     def tri_inv_blocked(L):
-        return lx.blocked_tri_inverse(L, block=64)
+        return blx.blocked_tri_inverse(L, block=64)
 
     @jax.jit
     def minv_from_linv(Linv):
@@ -80,8 +83,8 @@ def main():
 
     @jax.jit
     def blocked_setup(M):
-        L = lx.blocked_cholesky(M, block=64)
-        Linv = lx.blocked_tri_inverse(L, block=64)
+        L = blx.blocked_cholesky(M, block=64)
+        Linv = blx.blocked_tri_inverse(L, block=64)
         return minv_from_linv(Linv)
 
     @jax.jit
@@ -121,7 +124,7 @@ def main():
         r["setup_current(1seg)"] = best_of(current_setup, M, n=args.reps)
         r["setup_blocked(1seg)"] = best_of(blocked_setup, M, n=args.reps)
         try:
-            r["blocked_cholesky"] = best_of(jax.jit(lambda M: lx.blocked_cholesky(M, 64)), M, n=args.reps)
+            r["blocked_cholesky"] = best_of(jax.jit(lambda M: blx.blocked_cholesky(M, 64)), M, n=args.reps)
         except Exception as exc:  # pragma: no cover
             print("blocked_cholesky failed:", exc)
         try:
