@@ -531,6 +531,7 @@ def ruiz_equilibrate_structured(
         "max_iter", "check_every", "scaling_iters", "box_tail",
         "rho_refactor_ratio", "setup_precision", "debug", "polish",
         "polish_rounds", "use_pallas", "nu", "small_force_scale",
+        "return_polished",
     ),
 )
 def solve_adaptive(
@@ -556,6 +557,7 @@ def solve_adaptive(
     use_pallas: bool = False,
     nu: int = 12,
     small_force_scale: float = 50.0,
+    return_polished: bool = True,
 ) -> AdmmSolution:
     """Batched adaptive-iteration ADMM with refactor-on-demand.
 
@@ -718,48 +720,27 @@ def solve_adaptive(
             )
             return rp / ep, rd / ed
 
-        if use_pallas:
-            # the VMEM-resident iteration kernel consumes the dense scaled
-            # constraint matrix; materialize it ONCE per solve from the
-            # blocks (a single scatter — the kernel then reads it from HBM
-            # once per chunk instead of twice per iteration)
-            A_dense_s = (
-                jnp.zeros((B, m_fr, nz), dtype)
-                .at[:, face_rows[:, :, None], blk_cols[:, None, :]]
-                .set(s.C)
-            )
-            A_dense_s = jnp.concatenate(
-                [A_dense_s, box_diag[:, :, None] * jnp.eye(nz, dtype=dtype)],
-                axis=-2,
-            )
-
         def chunk_iters(x, z, y, rho, Minv):
+            # Iteration engine: the VMEM-resident structured Pallas kernel
+            # (use_pallas=True) or its XLA twin. The two are BITWISE
+            # identical (every reduction is an unrolled block sum or a
+            # fixed binary tree — see mpc/kernels.py and
+            # tests/test_kernels.py), so the choice is pure performance:
+            # under XLA each iteration re-streams Minv (B, nz, nz) from
+            # HBM (~75 MB/iter at B=512) — bandwidth-bound; the kernel
+            # pins it in VMEM for the whole chunk (~3.5x faster chunks).
+            from convex_mpc_tpu.mpc import kernels
+
             rho_vec = rho[:, None] * w_vec
-            if use_pallas:
-                # VMEM-resident iteration kernel: under XLA each iteration
-                # re-streams A (B, m, nz) and Minv from HBM (~275 MB/iter at
-                # B=512) — bandwidth-bound; the kernel pins them in VMEM for
-                # the whole chunk (mpc/kernels.py, equivalence in
-                # tests/test_kernels.py)
-                from convex_mpc_tpu.mpc import kernels
-
-                return kernels.admm_iterations(
-                    A_dense_s, Minv, s.q, s.l, s.u, rho_vec, x, z, y,
-                    iters=check_every, sigma=sigma, alpha=alpha, block_k=4,
-                )
-
-            def body(_, carry):
-                x, z, y = carry
-                rhs = sigma * x - s.q + mv_AT(rho_vec * z - y)
-                xt = jnp.einsum("bnm,bm->bn", Minv, rhs, precision=_PRECISION)
-                axt = mv_A(xt)
-                x_new = alpha * xt + (1.0 - alpha) * x
-                ax_rel = alpha * axt + (1.0 - alpha) * z
-                z_new = jnp.clip(ax_rel + y / rho_vec, s.l, s.u)
-                y_new = y + rho_vec * (ax_rel - z_new)
-                return (x_new, z_new, y_new)
-
-            return lax.fori_loop(0, check_every, body, (x, z, y))
+            fn = (
+                kernels.admm_iterations_structured
+                if use_pallas
+                else kernels.admm_iterations_structured_xla
+            )
+            return fn(
+                s.C, box_diag, Minv, s.q, s.l, s.u, rho_vec, x, z, y,
+                iters=check_every, sigma=sigma, alpha=alpha,
+            )
 
         Minv0 = factorize(rho)
         conv0 = jnp.zeros((B,), bool)
@@ -1208,7 +1189,7 @@ def solve_adaptive(
         x, z, y, rho, _, converged, conv_iter, it, n_fact = out[:9]
         x_pol_buf, pol_ok = out[10], out[11]
 
-        if polish:
+        if polish and return_polished:
             # use the certified polished point where one was accepted; a
             # cap-out whose final polish attempt failed keeps its ADMM
             # iterate (best effort, counted as non-converged).
@@ -1216,11 +1197,13 @@ def solve_adaptive(
             # accepts now gated on a settled iterate, the raw iterate is
             # often closer to the f64 optimum (0.02-0.06%) than the
             # polished point (~0.9-1.1%, the f32 Pi-P-Pi formation noise
-            # floor) — but returning the iterate instead changes the
-            # closed-loop trajectory enough to re-roll the chaos-marginal
-            # t=8 raw-schedule transition, which then falls. Both points
-            # are far inside the 2% budget; the substitution is kept for
-            # closed-loop continuity with the certified round-2 behavior.
+            # floor); both are far inside the 2% budget. The two choices
+            # are adjudicated by closed-loop ENSEMBLE pass-rates over
+            # perturbed initial states (tools/ensemble_cert.py,
+            # return_polished=False returns the raw iterate), not by any
+            # single trajectory — single 10 s rolls of the raw-weights
+            # schedule are chaos-marginal at t=8 (PARITY.md) and a one-roll
+            # landing is noise, not signal.
             x = jnp.where(pol_ok[:, None], x_pol_buf, x)
 
         # unscale + raw residual report (blockwise raw matvecs)

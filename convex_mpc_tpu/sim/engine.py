@@ -380,11 +380,33 @@ def _run_ticks(
     )
 
 
+def cycle_update(dyn, gait_i, sched_i, state_i, qd, n, mpc_dt, r_value,
+                 mu_mpc, fz_min):
+    """Per-scenario "update" stage of the MPC cycle: command lookup +
+    observation + reference generation + condensed QP assembly (the
+    reference's `update`/`update_model_simplified` + CasADi assembly,
+    test_MPC.py:181-205). Split out so tools/time_dashboard.py can time
+    update vs solve per cycle with the engine's exact code path."""
+    cmd = lookup_command(sched_i, state_i.t)
+    obs, yaw_cont, yaw_prev = observe(
+        dyn, state_i.plant, state_i.yaw_cont, state_i.yaw_prev, state_i.vel_filt
+    )
+    traj, refgen = R.generate(state_i.refgen, gait_i, obs, cmd, state_i.t, mpc_dt, n)
+    p0 = traj.x0[0:3]
+    # block-form QP: the dense (m, nz) constraint matrix is never built
+    # (condensed.StructuredQp — solve_adaptive consumes the blocks)
+    data, _ = condensed.build_condensed_structured(
+        traj.dyn, traj.x0.at[0:3].set(0.0), traj.x_ref.at[:, 0:3].add(-p0),
+        traj.contact, qd, r_value, mu_mpc, fz_min,
+    )
+    return data, traj, refgen, cmd, yaw_cont, yaw_prev
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "n", "steps_per_mpc", "solver_iters", "tau_max", "mpc_dt", "sim_dt",
-        "check_every", "stall_tol", "polish", "use_pallas",
+        "check_every", "stall_tol", "polish", "use_pallas", "return_polished",
     ),
 )
 def mpc_cycle_batch(
@@ -408,6 +430,7 @@ def mpc_cycle_batch(
     stall_tol: float = 0.02,
     polish: bool = True,
     use_pallas: bool | None = None,
+    return_polished: bool = True,
 ) -> tuple[EngineState, CycleLog]:
     """One MPC period for a scenario BATCH with the batch-global adaptive solver.
 
@@ -424,37 +447,39 @@ def mpc_cycle_batch(
     qd = jnp.asarray(q_diag, jnp.float32)
 
     def pre(gait_i, sched_i, state_i):
-        cmd = lookup_command(sched_i, state_i.t)
-        obs, yaw_cont, yaw_prev = observe(
-            dyn, state_i.plant, state_i.yaw_cont, state_i.yaw_prev, state_i.vel_filt
+        return cycle_update(
+            dyn, gait_i, sched_i, state_i, qd, n, mpc_dt, r_value, mu_mpc,
+            fz_min,
         )
-        traj, refgen = R.generate(state_i.refgen, gait_i, obs, cmd, state_i.t, mpc_dt, n)
-        p0 = traj.x0[0:3]
-        # block-form QP: the dense (m, nz) constraint matrix is never built
-        # (condensed.StructuredQp — solve_adaptive consumes the blocks)
-        data, _ = condensed.build_condensed_structured(
-            traj.dyn, traj.x0.at[0:3].set(0.0), traj.x_ref.at[:, 0:3].add(-p0),
-            traj.contact, qd, r_value, mu_mpc, fz_min,
-        )
-        return data, traj, refgen, cmd, yaw_cont, yaw_prev
 
     data_b, traj_b, refgen_b, cmd_b, yc_b, yp_b = jax.vmap(pre)(gait, sched, state)
 
     if use_pallas is None:
-        # Certified default: XLA iteration chunks. The VMEM-resident pallas
-        # kernel (use_pallas=True) computes the same math at ulp-different
-        # matvec bracketing, and that re-rolls the chaos-marginal t=8
-        # transition of the raw-weights reference schedule (measured: the
-        # pallas path falls at t~8 where the XLA path lands; even the
-        # reference's own f64 semantics is marginal there — PARITY.md).
-        # Opt in for steady-state/tuned-profile sweeps where the ~10%
-        # cycle-time win matters and the raw-schedule dice do not.
-        use_pallas = False
+        # Certified default: the VMEM-resident structured iteration kernel.
+        # Its iterates are BITWISE identical to the XLA twin (every
+        # reduction is an unrolled block sum or a fixed binary tree —
+        # mpc/kernels.py, asserted on real condensed QPs in
+        # tests/test_kernels.py), so closed-loop certification transfers
+        # between the two paths and the choice is pure performance. Off-TPU
+        # the kernel would run in interpret mode; use the twin there.
+        use_pallas = jax.default_backend() != "cpu"
     sol = admm.solve_adaptive(
         data_b, state.solver, max_iter=solver_iters, check_every=check_every,
         box_tail=n * 12, stall_tol=stall_tol, polish=polish,
-        use_pallas=use_pallas, nu=condensed.NU,
+        use_pallas=use_pallas, nu=condensed.NU, return_polished=return_polished,
     )
+    return cycle_apply(
+        dyn, gait, contact, state, sol, traj_b, refgen_b, cmd_b, yc_b, yp_b,
+        solver_iters, steps_per_mpc, tau_max, sim_dt, vel_filter_hz,
+    )
+
+
+def cycle_apply(dyn, gait, contact, state, sol, traj_b, refgen_b, cmd_b,
+                yc_b, yp_b, solver_iters, steps_per_mpc=20, tau_max=45.0,
+                sim_dt=1e-3, vel_filter_hz=30.0):
+    """Batched "apply" stage of the MPC cycle: 1 kHz leg-control/physics
+    ticks from the solved forces + next-cycle state assembly (rho
+    warm-carry). Split out for tools/time_dashboard.py (see cycle_update)."""
     u0_b = sol.x[:, 0:12].reshape(-1, 4, 3)
 
     def post(gait_i, contact_i, cmd_i, traj_i, u0_i, state_i, yc, yp):

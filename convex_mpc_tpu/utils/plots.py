@@ -236,6 +236,43 @@ def plot_open_loop_validation(x_opt, x_rollout, x_ref=None, path=None, block=Fal
     return _finish(fig, path, block)
 
 
+def plot_cycle_time(update_ms, solve_ms, apply_ms=None, budget_ms=20.833,
+                    batch=1, path=None, block=False):
+    """Per-cycle update-vs-solve stacked bars against the real-time budget
+    (reference plot_helper.py:217-253 `plot_solve_time`).
+
+    ``update_ms``/``solve_ms``/``apply_ms`` are per-MPC-cycle wall times of
+    the QP-assembly ("update"), QP-solve, and 1 kHz tick stages for the
+    WHOLE batch; the budget line is the 48 Hz MPC period — a batch cycle
+    under the line serves all ``batch`` scenarios in real time on one chip.
+    """
+    plt = _plt()
+    update_ms = np.asarray(update_ms)
+    solve_ms = np.asarray(solve_ms)
+    cycles = np.arange(len(update_ms))
+    fig, ax = plt.subplots(figsize=(11, 4.5))
+    ax.bar(cycles, update_ms, width=1.0, label="update (ref gen + QP build)")
+    ax.bar(cycles, solve_ms, width=1.0, bottom=update_ms, label="QP solve")
+    total = update_ms + solve_ms
+    if apply_ms is not None:
+        apply_ms = np.asarray(apply_ms)
+        ax.bar(cycles, apply_ms, width=1.0, bottom=total,
+               label="1 kHz ticks")
+        total = total + apply_ms
+    ax.axhline(budget_ms, color="r", ls="--",
+               label=f"real-time budget {budget_ms:.1f} ms")
+    ax.set_xlabel("MPC cycle")
+    ax.set_ylabel(f"wall ms / cycle (batch {batch})")
+    ax.set_title(
+        f"cycle time: mean {total.mean():.1f} ms, p99 "
+        f"{np.percentile(total, 99):.1f} ms "
+        f"({batch} scenarios/cycle -> "
+        f"{batch / (total.mean() * 1e-3):,.0f} solves/s)"
+    )
+    ax.legend(fontsize=8)
+    return _finish(fig, path, block)
+
+
 def hold_until_all_fig_closed():
     """Block until every figure window is closed (plot_helper.py:306-307)."""
     import matplotlib.pyplot as plt

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--wz", type=float, default=0.0)
     ap.add_argument("--vy", type=float, default=0.0)
     ap.add_argument("--plots", default=None, help="directory to save dashboards")
+    ap.add_argument("--time-dashboard", action="store_true",
+                    help="with --plots: also measure + plot the per-cycle "
+                         "update/solve/ticks timing split "
+                         "(tools/time_dashboard.py)")
     ap.add_argument("--replay", action="store_true", help="interactive MuJoCo replay")
     ap.add_argument("--save-traj", default=None, help="save q/tau/x logs to this .npz")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -176,6 +180,27 @@ def main():
         PL.plot_open_loop_validation(
             x_opt, x_roll, x_ref_s, path=out / "open_loop_validation.png"
         )
+
+        if args.time_dashboard:
+            # per-cycle update-vs-solve stacked bars (reference
+            # plot_helper.py:217-253) — measured by the staged runner
+            import subprocess
+            import sys as _sys
+
+            subprocess.run(
+                [
+                    _sys.executable,
+                    str(Path(__file__).resolve().parents[1]
+                        / "tools" / "time_dashboard.py"),
+                    "--batch", "1", "--seconds", str(args.seconds),
+                    "--schedule", args.schedule,
+                    "--iters", str(args.solver_iters),
+                    "--out", str(out / "cycle_time.png"),
+                ]
+                + (["--tuned"] if args.tuned else [])
+                + (["--cpu"] if args.cpu else []),
+                check=False,
+            )
         print(f"[demo] plots saved to {out}/")
 
     if args.save_traj:

@@ -210,3 +210,29 @@ def test_mpc_cycle_batch_horizons(dyn, n):
         )
     z = np.asarray(s.plant.q[:, 2])
     assert np.isfinite(z).all() and (z > 0.15).all() and (z < 0.45).all(), z
+
+
+def test_adaptive_pallas_path_matches_xla(qp_batch):
+    """solve_adaptive(use_pallas=True) == use_pallas=False end to end: the
+    iteration engines are bitwise twins (mpc/kernels.py), and everything
+    else (Ruiz, factorization, accept gates, polish) is shared. On TPU the
+    outputs are bitwise identical (tools/check_bitexact_tpu.py asserts it
+    there); on CPU the interpret-mode kernel picks up ulp-level FMA-fusion
+    differences, so assert tight allclose plus identical accept decisions.
+    """
+    data_b, cold = qp_batch
+    sol_x = admm.solve_adaptive(data_b, cold, max_iter=200, box_tail=192)
+    sol_p = admm.solve_adaptive(data_b, cold, max_iter=200, box_tail=192,
+                                use_pallas=True)
+    on_tpu = jax.default_backend() == "tpu"
+    np.testing.assert_array_equal(
+        np.asarray(sol_x.iters), np.asarray(sol_p.iters)
+    )
+    for name in ("x", "z", "y", "rho"):
+        a = np.asarray(getattr(sol_x.state, name))
+        b = np.asarray(getattr(sol_p.state, name))
+        if on_tpu:
+            assert np.array_equal(a.view(np.uint32), b.view(np.uint32)), name
+        else:
+            scale = max(np.abs(a).max(), 1.0)
+            np.testing.assert_allclose(a, b, atol=1e-5 * scale, rtol=0)

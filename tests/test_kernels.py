@@ -112,3 +112,72 @@ def test_spd_inverse_interpret_matches_xla():
     # and it actually inverts: A @ out ~ I
     resid = jnp.matmul(A, out_k, precision=jax.lax.Precision.HIGHEST) - jnp.eye(n)
     assert float(jnp.max(jnp.abs(resid))) < 1e-4
+
+
+def _structured_problem(B=4, nb=64, seed=11):
+    """A convergent structured ADMM problem: C blocks shaped like friction
+    pyramids, Minv the true KKT inverse — iterates stay finite (the bitwise
+    XLA/Pallas equivalence is specified for finite trajectories only; see
+    mpc/kernels.py docstring)."""
+    rng = np.random.default_rng(seed)
+    nz, m_fr = nb * 3, nb * 4
+    m = m_fr + nz
+    mu = 0.8
+    base = np.array(
+        [[1, 0, mu], [-1, 0, mu], [0, 1, mu], [0, -1, mu]], np.float32
+    )
+    C = np.broadcast_to(base, (B, nb, 4, 3)).copy()
+    C += 0.05 * rng.standard_normal(C.shape).astype(np.float32)
+    box = (1.0 + 0.2 * rng.standard_normal((B, nz))).astype(np.float32)
+    Pm = rng.standard_normal((B, nz, nz)).astype(np.float32) * 0.05
+    Pm = Pm @ np.swapaxes(Pm, -1, -2) + np.eye(nz, dtype=np.float32)
+    rho = (0.1 * (1.0 + 0.5 * rng.random((B, m)))).astype(np.float32)
+    # dense A only to form the exact KKT inverse (f64) — never fed to the paths
+    A = np.zeros((B, m, nz), np.float32)
+    for b in range(B):
+        for n in range(nb):
+            A[b, n * 4:(n + 1) * 4, n * 3:(n + 1) * 3] = C[b, n]
+        A[b, m_fr:, :] = np.diag(box[b])
+    K = Pm.astype(np.float64) + 1e-6 * np.eye(nz) + np.einsum(
+        "bmn,bm,bmk->bnk", A.astype(np.float64), rho.astype(np.float64), A.astype(np.float64)
+    )
+    Minv = np.linalg.inv(K).astype(np.float32)
+    q = rng.standard_normal((B, nz)).astype(np.float32)
+    l = np.full((B, m), -np.inf, np.float32)
+    l[:, m_fr:] = -2.0
+    u = np.full((B, m), 5.0, np.float32)
+    x = rng.standard_normal((B, nz)).astype(np.float32) * 0.1
+    z = np.clip(rng.standard_normal((B, m)).astype(np.float32) * 0.1, l, u)
+    y = rng.standard_normal((B, m)).astype(np.float32) * 0.1
+    return [jnp.asarray(a) for a in (C, box, Minv, q, l, u, rho, x, z, y)]
+
+
+@pytest.mark.parametrize("iters", [1, 25, 150])
+def test_structured_pair_bitwise(iters):
+    """admm_iterations_structured (Pallas) == admm_iterations_structured_xla
+    bit-for-bit over long chunks: the property that lets closed-loop
+    certification transfer between the paths.
+
+    On TPU this exercises the real Mosaic kernel and asserts BITWISE
+    equality (also checked standalone by tools/check_bitexact_tpu.py). On
+    CPU the kernel runs in interpret mode — same op sequence, but XLA's CPU
+    backend FMA-fuses the two separately-jitted programs differently, so
+    ulp-level differences appear (measured ~1e-7 absolute, stable over 150
+    iterations — the contraction keeps them bounded); assert tight allclose
+    there.
+    """
+    from convex_mpc_tpu.mpc import kernels
+
+    args = _structured_problem()
+    ax = kernels.admm_iterations_structured_xla(*args, iters=iters)
+    ap = kernels.admm_iterations_structured(*args, iters=iters)
+    on_tpu = jax.default_backend() == "tpu"
+    for name, a, b in zip("xzy", ax, ap):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), f"{name}: XLA twin produced non-finite"
+        if on_tpu:
+            assert np.array_equal(a.view(np.uint32), b.view(np.uint32)), (
+                f"{name}: max|d|={np.abs(a - b).max():.3e} nbad={(a != b).sum()}"
+            )
+        else:
+            np.testing.assert_allclose(a, b, atol=2e-6, rtol=1e-5)

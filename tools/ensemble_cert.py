@@ -1,0 +1,203 @@
+"""Ensemble closed-loop certification: pass-RATES, not single rolls.
+
+The 10 s reference command schedule (reference test_MPC.py:37-47) is
+chaos-marginal at the t = 8 turn-exit -> 0.8 m/s transition under the raw
+reference weights — the reference's own f64 semantics falls there
+(tools/reference_loop.py, PARITY.md), and single-trajectory outcomes flip
+with ulp-level numeric changes. Certifying engine defaults on one roll is
+noise. This tool runs a B-scenario ensemble of the schedule from perturbed
+initial states (+-mm positions, +-mrad attitude/joints, +-mm/s velocities)
+through the exact production engine path (batched adaptive solver) and
+reports the pass-rate with a Clopper-Pearson binomial lower bound.
+
+Pass criterion per scenario (the test_envelope.py full-schedule assertions):
+finite trajectory, |roll,pitch| < 0.6 rad throughout, z in [0.12, 0.6] m
+throughout, upright at the end, and fully stopped by t = 12 s
+(mean |vx,vy| of the last 0.5 s < 0.1 m/s).
+
+Usage:
+  python tools/ensemble_cert.py --batch 64                 # raw weights
+  python tools/ensemble_cert.py --batch 64 --tuned
+  python tools/ensemble_cert.py --batch 64 --return-iterate
+  python tools/ensemble_cert.py --batch 64 --xla           # XLA-twin engine
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def clopper_pearson_low(k: int, n: int, conf: float = 0.95) -> float:
+    """Lower confidence bound for a binomial proportion."""
+    if k == 0:
+        return 0.0
+    try:
+        from scipy.stats import beta
+
+        return float(beta.ppf(1.0 - conf, k, n - k + 1))
+    except Exception:
+        # Wilson fallback if scipy is unavailable
+        from math import sqrt
+
+        z = 1.645 if conf == 0.95 else 2.326
+        p = k / n
+        den = 1 + z * z / n
+        mid = p + z * z / (2 * n)
+        rad = z * sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        return max(0.0, (mid - rad) / den)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--seconds", type=int, default=12,
+                    help="10 s schedule + settle window (stop asserted at end)")
+    ap.add_argument("--iters", type=int, default=1000)
+    ap.add_argument("--tuned", action="store_true",
+                    help="tuned profile instead of raw reference weights")
+    ap.add_argument("--return-iterate", action="store_true",
+                    help="return the raw ADMM iterate instead of the "
+                         "certified polished point (adjudicates "
+                         "admm.solve_adaptive return_polished)")
+    ap.add_argument("--xla", action="store_true",
+                    help="force the XLA-twin iteration engine (default: "
+                         "platform default = Pallas kernel on TPU)")
+    ap.add_argument("--pos-mm", type=float, default=2.0)
+    ap.add_argument("--ang-mrad", type=float, default=2.0)
+    ap.add_argument("--vel-mms", type=float, default=10.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--json", default="", help="write full report to this path")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convex_mpc_tpu.control import gait as G
+    from convex_mpc_tpu.models import dynamics as D
+    from convex_mpc_tpu.sim import engine as E
+    from convex_mpc_tpu.sim import physics as P
+    from convex_mpc_tpu.utils.config import TUNED_CONFIG
+
+    B = args.batch
+    rng = np.random.default_rng(args.seed)
+    dyn = D.build_dyn()
+    contact = P.default_contact(kn=30000, dn=1000)
+    gait_b = E.broadcast_batch(G.make_gait_params(3.0, 0.6), B)
+    contact_b = E.broadcast_batch(contact, B)
+    sched_b = E.broadcast_batch(E.reference_schedule(), B)
+    state = E.init_state(dyn, n=16)
+    state = state._replace(plant=P.init_plant(dyn, contact=contact))
+    state_b = E.broadcast_batch(state, B)
+
+    # perturb initial state: scenario 0 is the unperturbed nominal roll
+    q = np.asarray(state_b.plant.q).copy()  # (B, 19) [pos, quat xyzw, joints]
+    dq = np.asarray(state_b.plant.dq).copy()  # (B, 18)
+    pos = args.pos_mm * 1e-3
+    ang = args.ang_mrad * 1e-3
+    vel = args.vel_mms * 1e-3
+    q[1:, 0:3] += rng.uniform(-pos, pos, (B - 1, 3))
+    # small-angle attitude: compose identity-adjacent quaternion (xyzw)
+    half = 0.5 * rng.uniform(-ang, ang, (B - 1, 3))
+    dq_quat = np.concatenate([half, np.ones((B - 1, 1))], axis=1)
+    q0 = q[1:, 3:7]  # (x, y, z, w)
+    x1, y1, z1, w1 = dq_quat.T
+    x2, y2, z2, w2 = q0.T
+    comp = np.stack(
+        [
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        ],
+        axis=1,
+    )
+    q[1:, 3:7] = comp / np.linalg.norm(comp, axis=1, keepdims=True)
+    q[1:, 7:19] += rng.uniform(-ang, ang, (B - 1, 12))
+    dq[1:, 0:3] += rng.uniform(-vel, vel, (B - 1, 3))
+    state_b = state_b._replace(
+        plant=state_b.plant._replace(
+            q=jnp.asarray(q, jnp.float32), dq=jnp.asarray(dq, jnp.float32)
+        )
+    )
+
+    kw = {}
+    if args.tuned:
+        kw["q_diag"] = TUNED_CONFIG.mpc.q_diag
+    if args.xla:
+        kw["use_pallas"] = False
+    if args.return_iterate:
+        kw["return_polished"] = False
+
+    t0 = time.time()
+    z_min = np.full(B, np.inf)
+    z_max = np.full(B, -np.inf)
+    rp_max = np.zeros(B)
+    finite = np.ones(B, bool)
+    last = None
+    for sec in range(args.seconds):
+        state_b, logs = E.simulate_batched(
+            dyn, gait_b, contact_b, sched_b, state_b, n_cycles=50,
+            solver_iters=args.iters, **kw,
+        )
+        x = np.asarray(logs.ticks.x_vec)  # (50, B, 20, 12)
+        x = np.moveaxis(x, 1, 0).reshape(B, -1, 12)
+        finite &= np.isfinite(x).all(axis=(1, 2))
+        x = np.nan_to_num(x)
+        z_min = np.minimum(z_min, x[:, :, 2].min(1))
+        z_max = np.maximum(z_max, x[:, :, 2].max(1))
+        rp_max = np.maximum(rp_max, np.abs(x[:, :, 3:5]).max((1, 2)))
+        last = x
+        n_up = int(
+            (finite & (z_min > 0.12) & (z_max < 0.6) & (rp_max < 0.6)).sum()
+        )
+        print(f"t={sec + 1:2d}s  upright {n_up}/{B}  "
+              f"z[{z_min.min():.3f},{z_max.max():.3f}]  "
+              f"|rp|max={rp_max.max():.3f}", flush=True)
+
+    stop_resid = np.abs(last[:, -500:, 6:8]).mean(axis=(1, 2))
+    end_z = last[:, -1, 2]
+    ok = (
+        finite
+        & (z_min > 0.12)
+        & (z_max < 0.6)
+        & (rp_max < 0.6)
+        & (end_z > 0.15)
+        & (stop_resid < 0.1)
+    )
+    k, n = int(ok.sum()), B
+    lo = clopper_pearson_low(k, n)
+    report = {
+        "profile": "tuned" if args.tuned else "raw",
+        "engine": "xla-twin" if args.xla else "platform-default(pallas on tpu)",
+        "point": "iterate" if args.return_iterate else "polished",
+        "batch": n,
+        "pass": k,
+        "pass_rate": round(k / n, 4),
+        "cp95_lower": round(lo, 4),
+        "perturb": {"pos_mm": args.pos_mm, "ang_mrad": args.ang_mrad,
+                    "vel_mms": args.vel_mms, "seed": args.seed},
+        "iters": args.iters,
+        "seconds": args.seconds,
+        "fail_idx": np.nonzero(~ok)[0].tolist(),
+        "stop_resid_p95": round(float(np.percentile(stop_resid, 95)), 4),
+        "elapsed_s": round(time.time() - t0, 1),
+    }
+    print(json.dumps(report))
+    if args.json:
+        Path(args.json).write_text(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
