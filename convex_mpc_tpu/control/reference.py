@@ -122,17 +122,22 @@ def generate(
 
     hip_offsets = _hip_offsets()
 
-    def step(carry, inputs):
-        mask_prev, r_prev, r_next_td = carry
-        mask_i, base_pos_i, yaw_i = inputs
-
-        # per-leg feedback-free touchdown prediction at this horizon step
-        td = jax.vmap(
+    # per-(step, leg) feedback-free touchdown predictions are
+    # carry-INDEPENDENT — hoisted out of the scan as one batched (N, 4)
+    # evaluation so the sequential chain below carries only cheap masked
+    # selects (the trig/Raibert math dominated the old per-step scan body)
+    td_all = jax.vmap(
+        lambda base_pos_i, yaw_i: jax.vmap(
             lambda hip: G.touchdown_nominal(
                 gait, base_pos_i, v_body[0:2], yaw_i, cmd.yaw_rate, hip
             )
-        )(hip_offsets)  # (4, 3)
-        r_td_new = td - base_pos_i[None, :]
+        )(hip_offsets)
+    )(pos_traj.T, yaw_traj)  # (N, 4, 3)
+    r_td_all = td_all - pos_traj.T[:, None, :]
+
+    def step(carry, inputs):
+        mask_prev, r_prev, r_next_td = carry
+        mask_i, r_td_new = inputs
 
         edge = mask_i != mask_prev
         takeoff = edge & (mask_i == 0)
@@ -154,7 +159,7 @@ def generate(
         jnp.zeros((4, 3)),
         obs.foot_levers,  # initial next-touchdown levers = current levers
     )
-    _, r_feet = jax.lax.scan(step, init, (masks, pos_traj.T, yaw_traj))  # (N, 4, 3)
+    _, r_feet = jax.lax.scan(step, init, (masks, r_td_all))  # (N, 4, 3)
 
     x_ref = jnp.concatenate([pos_traj, rpy_traj, vel_traj, omega_traj], axis=0).T  # (N, 12)
 

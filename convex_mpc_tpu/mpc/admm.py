@@ -762,7 +762,7 @@ def solve_adaptive(
         adapt_stride = max(1, 100 // check_every)
         max_adapts = 3
 
-        def attempt_polish(x, z, y, rho, Minv):
+        def attempt_polish(x, z, y, rho, Minv, step):
             """Certified accept: snap the iterate onto the identified active set.
 
             The QP's force directions are nearly flat (R = 1e-5 vs Q ~
@@ -844,7 +844,7 @@ def solve_adaptive(
             v_x = viol(x_it_raw)
             big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
-            def polish_once(a_lo, a_hi):
+            def polish_core(a_lo, a_hi, reduced):
                 """Project the iterate onto the active manifold; LS duals.
 
                 Returns (x_pol, y_rows, stat_res): the snapped point, the
@@ -855,6 +855,21 @@ def solve_adaptive(
                 supports the gradient up to matvec noise; a set that pins
                 a stiff direction wrongly (or misses an active row) leaves
                 an O(curvature x displacement) unsupported component.
+
+                ``reduced`` (static) selects the null-space component:
+
+                - True: solve the reduced equality-constrained subproblem
+                  exactly (batched nz x nz formation + SPD inverse — the
+                  expensive certified path);
+                - False: KEEP the iterate's null-space component and only
+                  snap the active-row component (pure block-local 7x7/3x3
+                  arithmetic — no nz x nz work at all). At a settled
+                  warm-started iterate the flat directions are already
+                  placed by the contracting ADMM steps (measured round 3:
+                  0.02-0.06% from the f64 optimum, CLOSER than the reduced
+                  solve's f32 Pi-P-Pi noise floor of ~1%), so in steady
+                  state this cheap proposal certifies and the reduced
+                  ladder is skipped batch-globally (see attempt_polish).
                 """
                 t_all = jnp.where(a_lo, l_raw, jnp.where(a_hi, u_raw, 0.0))
                 m_face = (a_lo | a_hi)[:, :m_fr][:, face_rows]
@@ -893,51 +908,62 @@ def solve_adaptive(
                 Pi_b = eye3 - jnp.einsum(
                     "bnkr,bnkl,bnls->bnrs", C, CCi, C, precision=_PRECISION
                 )
-                Pi = jnp.zeros((B, nz, nz), dtype).at[
-                    :, blk_cols[:, :, None], blk_cols[:, None, :]
-                ].set(Pi_b)
-                # reduced problem over the null space: x = x_p + Pi w with
-                # (Pi P Pi + (I - Pi)) d = -Pi (q + P x_p). H carries the
-                # objective's own curvature only — no penalty term, so the
-                # flat R-scale curvature survives f32 formation (an earlier
-                # P + w A'A penalty solve lost it to absorption); Jacobi
-                # scaling then normalizes the stiff/flat disparity for the
-                # f32 Cholesky. (I - Pi) fills the complement with identity.
-                PPi = jnp.matmul(qp.p_dense, Pi, precision=setup_precision)
-                H = jnp.matmul(Pi, PPi, precision=setup_precision) + (eye - Pi)
-                rhs_r = -jnp.einsum(
-                    "bnm,bn->bm", Pi,
-                    qp.q + jnp.einsum(
-                        "bnm,bm->bn", qp.p_dense, x_p, precision=_PRECISION
-                    ),
-                    precision=_PRECISION,
-                )
-                djr = jnp.sqrt(jnp.maximum(
-                    jnp.diagonal(H, axis1=-2, axis2=-1), 1e-30
-                ))
-                Hn = H / (djr[:, :, None] * djr[:, None, :]) + 1e-6 * eye
-                # XLA's batched Cholesky + 1-RHS triangular solves serialize
-                # ~32 ms of column steps at B=512; the fused Pallas SPD
-                # inverse (ops/chol_kernel.py) runs the factorization in
-                # VMEM and one matvec finishes the Jacobi-scaled solve
-                if nz % 32 == 0:
-                    from convex_mpc_tpu.ops.chol_kernel import spd_inverse
+                if reduced:
+                    Pi = jnp.zeros((B, nz, nz), dtype).at[
+                        :, blk_cols[:, :, None], blk_cols[:, None, :]
+                    ].set(Pi_b)
+                    # reduced problem over the null space: x = x_p + Pi w
+                    # with (Pi P Pi + (I - Pi)) d = -Pi (q + P x_p). H
+                    # carries the objective's own curvature only — no
+                    # penalty term, so the flat R-scale curvature survives
+                    # f32 formation (an earlier P + w A'A penalty solve
+                    # lost it to absorption); Jacobi scaling then
+                    # normalizes the stiff/flat disparity for the f32
+                    # Cholesky. (I - Pi) fills the complement with identity.
+                    PPi = jnp.matmul(qp.p_dense, Pi, precision=setup_precision)
+                    H = jnp.matmul(Pi, PPi, precision=setup_precision) + (eye - Pi)
+                    rhs_r = -jnp.einsum(
+                        "bnm,bn->bm", Pi,
+                        qp.q + jnp.einsum(
+                            "bnm,bm->bn", qp.p_dense, x_p, precision=_PRECISION
+                        ),
+                        precision=_PRECISION,
+                    )
+                    djr = jnp.sqrt(jnp.maximum(
+                        jnp.diagonal(H, axis1=-2, axis2=-1), 1e-30
+                    ))
+                    Hn = H / (djr[:, :, None] * djr[:, None, :]) + 1e-6 * eye
+                    # XLA's batched Cholesky + 1-RHS triangular solves
+                    # serialize ~32 ms of column steps at B=512; the fused
+                    # Pallas SPD inverse (ops/chol_kernel.py) runs the
+                    # factorization in VMEM and one matvec finishes the
+                    # Jacobi-scaled solve
+                    if nz % 32 == 0:
+                        from convex_mpc_tpu.ops.chol_kernel import spd_inverse
 
-                    Hinv = spd_inverse(Hn)
+                        Hinv = spd_inverse(Hn)
+                    else:
+                        Lr = jnp.linalg.cholesky(Hn)
+                        Lri = jax.scipy.linalg.solve_triangular(
+                            Lr, jnp.broadcast_to(eye, Lr.shape), lower=True
+                        )
+                        Hinv = jnp.matmul(
+                            jnp.swapaxes(Lri, -1, -2), Lri,
+                            precision=setup_precision,
+                        )
+                    zr = jnp.einsum(
+                        "bnm,bn->bm", Hinv, rhs_r / djr, precision=_PRECISION
+                    ) / djr
+                    x_pol = x_p + jnp.einsum(
+                        "bmn,bn->bm", Pi, zr, precision=_PRECISION
+                    )
                 else:
-                    Lr = jnp.linalg.cholesky(Hn)
-                    Lri = jax.scipy.linalg.solve_triangular(
-                        Lr, jnp.broadcast_to(eye, Lr.shape), lower=True
-                    )
-                    Hinv = jnp.matmul(
-                        jnp.swapaxes(Lri, -1, -2), Lri, precision=setup_precision
-                    )
-                zr = jnp.einsum(
-                    "bnm,bn->bm", Hinv, rhs_r / djr, precision=_PRECISION
-                ) / djr
-                x_pol = x_p + jnp.einsum(
-                    "bmn,bn->bm", Pi, zr, precision=_PRECISION
-                )
+                    # snap: keep the iterate's null-space component —
+                    # block-local 3x3 projector application only
+                    x_pol = x_p + jnp.einsum(
+                        "bnrs,bns->bnr", Pi_b, x_it_raw.reshape(B, nb, 3),
+                        precision=_PRECISION,
+                    ).reshape(B, nz)
                 # block least-squares multipliers of the active rows
                 g_b = -(
                     jnp.einsum(
@@ -993,7 +1019,7 @@ def solve_adaptive(
             # Cholesky + reduced solve)
             def round_body(rcarry):
                 a_lo, a_hi, x_pol_raw, best_obj, ok_pol, r = rcarry
-                x_k, y_k, st_k = polish_once(a_lo, a_hi)
+                x_k, y_k, st_k = polish_core(a_lo, a_hi, reduced=True)
                 ok_k = certify(a_lo, a_hi, x_k, y_k, st_k)
                 o_k = jnp.where(ok_k, obj(x_k), big)
                 # freeze a scenario's certified point: later rounds (which
@@ -1011,15 +1037,44 @@ def solve_adaptive(
                 ok_pol, r = rcarry[4], rcarry[5]
                 return (r < polish_rounds) & ~ok_pol.all()
 
-            rcarry0 = (
-                act_lo, act_hi, jnp.zeros_like(x_it_raw),
-                jnp.full((B,), big, dtype), jnp.zeros((B,), bool),
-                jnp.asarray(0, jnp.int32),
+            # Fast path: the SNAP proposal (iterate's null-space component
+            # kept, active rows snapped — block-local arithmetic only, no
+            # nz x nz formation, no SPD inverse). Trusting the iterate's
+            # flat-direction component is only safe when the iterate has
+            # SETTLED (moved <= stall_tol over the last chunk): the f32
+            # certificate cannot see flat-direction displacement, and
+            # mask-edge warm starts accept on the certificate while still
+            # 2-7% off there (regression population
+            # tests/test_polish_regression.py — cycle 151 certifies a
+            # 3.2%-off snap without this gate; settled iterates measure
+            # 0.02-0.06% off, round 3). In steady trot the settled
+            # warm-started iterate certifies directly and the reduced
+            # ladder below is skipped batch-globally (lax.cond, so the
+            # expensive branch is genuinely not executed).
+            x_sn, y_sn, st_sn = polish_core(act_lo, act_hi, reduced=False)
+            ok_sn = certify(act_lo, act_hi, x_sn, y_sn, st_sn) & (
+                step <= stall_tol
             )
-            # round 1 always runs; the loop predicate then gates rounds 2-3
-            rcarry = round_body(rcarry0)
-            a_lo, a_hi, x_pol_raw, best_obj, ok_pol, _ = lax.while_loop(
-                round_cond, round_body, rcarry
+
+            def ladder():
+                rcarry0 = (
+                    act_lo, act_hi,
+                    jnp.where(ok_sn[:, None], x_sn, jnp.zeros_like(x_it_raw)),
+                    jnp.where(ok_sn, obj(x_sn), big),
+                    ok_sn,
+                    jnp.asarray(0, jnp.int32),
+                )
+                # reduced round 1 runs for the uncertified scenarios; the
+                # loop predicate then gates rounds 2-3. Snap-certified
+                # scenarios keep their frozen point (the ~ok_pol take).
+                rcarry = round_body(rcarry0)
+                out = lax.while_loop(round_cond, round_body, rcarry)
+                return out[0], out[1], out[2], out[3], out[4]
+
+            a_lo, a_hi, x_pol_raw, best_obj, ok_pol = lax.cond(
+                ok_sn.all(),
+                lambda: (act_lo, act_hi, x_sn, obj(x_sn), ok_sn),
+                ladder,
             )
             if debug:
                 jax.debug.print(
@@ -1098,7 +1153,7 @@ def solve_adaptive(
                 want_pol = converged.all() | at_cap
                 x_pol_buf, pol_ok = lax.cond(
                     want_pol,
-                    lambda: attempt_polish(x, z, y, rho, Minv),
+                    lambda: attempt_polish(x, z, y, rho, Minv, step),
                     lambda: (x_pol_buf, pol_ok),
                 )
                 # SMALL-FORCE scenarios additionally require a settled

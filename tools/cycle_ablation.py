@@ -90,20 +90,21 @@ def main():
     qd = jnp.asarray(QD, jnp.float32)
 
     def pre_one(gait_i, sched_i, state_i):
-        """Mirror of engine.mpc_cycle_batch's pre stage (observe+ref+assembly)."""
+        """The engine's exact update stage (engine.cycle_update)."""
+        return E.cycle_update(
+            dyn, gait_i, sched_i, state_i, qd, 16, MPC_DT, 1e-5, 0.8, 10.0
+        )
+
+    def refgen_one(gait_i, sched_i, state_i):
+        """Observe + reference generation only (no QP assembly)."""
         cmd = E.lookup_command(sched_i, state_i.t)
         obs, yc, yp = E.observe(
             dyn, state_i.plant, state_i.yaw_cont, state_i.yaw_prev, state_i.vel_filt
         )
         traj, refgen = R.generate(state_i.refgen, gait_i, obs, cmd, state_i.t, MPC_DT, 16)
-        p0 = traj.x0[0:3]
-        data, _ = condensed.build_condensed(
-            traj.dyn, traj.x0.at[0:3].set(0.0),
-            traj.x_ref.at[:, 0:3].add(-p0), traj.contact, qd, 1e-5, 0.8, 10.0,
-        )
-        return data, traj, cmd, yc, yp
+        return traj, cmd, yc, yp
 
-    data_b, traj_b, cmd_b, yc_b, yp_b = jax.jit(jax.vmap(pre_one))(
+    data_b, traj_b, _refgen_b, cmd_b, yc_b, yp_b = jax.jit(jax.vmap(pre_one))(
         gait_b, sched_b, state_b
     )
     u0_b = state_b.u0
@@ -115,22 +116,64 @@ def main():
             st = state_b._replace(
                 plant=state_b.plant._replace(q=state_b.plant.q.at[:, 2].add(eps))
             )
-            data, traj, cmd, yc, yp = jax.vmap(pre_one)(gait_b, sched_b, st)
+            data, traj, refgen, cmd, yc, yp = jax.vmap(pre_one)(gait_b, sched_b, st)
+            return jnp.sum(data.q) * 1e-30, None
+
+        out, _ = jax.lax.scan(rep, jnp.asarray(0.0, jnp.float32), None, length=K)
+        return out
+
+    # ---- phase: pre subparts (refgen alone / QP assembly alone) ----------
+    @jax.jit
+    def run_refgen(state_b):
+        def rep(eps, _):
+            st = state_b._replace(
+                plant=state_b.plant._replace(q=state_b.plant.q.at[:, 2].add(eps))
+            )
+            traj, cmd, yc, yp = jax.vmap(refgen_one)(gait_b, sched_b, st)
+            return jnp.sum(traj.x_ref) * 1e-30, None
+
+        out, _ = jax.lax.scan(rep, jnp.asarray(0.0, jnp.float32), None, length=K)
+        return out
+
+    @jax.jit
+    def run_qpbuild(traj_b):
+        def build_one(traj):
+            p0 = traj.x0[0:3]
+            data, _ = condensed.build_condensed_structured(
+                traj.dyn, traj.x0.at[0:3].set(0.0),
+                traj.x_ref.at[:, 0:3].add(-p0), traj.contact, qd,
+                1e-5, 0.8, 10.0,
+            )
+            return data
+
+        def rep(eps, _):
+            t = traj_b._replace(x_ref=traj_b.x_ref + eps)
+            data = jax.vmap(build_one)(t)
             return jnp.sum(data.q) * 1e-30, None
 
         out, _ = jax.lax.scan(rep, jnp.asarray(0.0, jnp.float32), None, length=K)
         return out
 
     # ---- phase: solve (warm-started adaptive) ----------------------------
-    @jax.jit
-    def run_solve(data_b, warm):
-        def rep(eps, _):
-            d = data_b._replace(q=data_b.q + eps)
-            sol = admm.solve_adaptive(d, warm, max_iter=600, box_tail=192)
-            return jnp.sum(sol.x) * 1e-30, sol.iters
+    def make_run_solve(up):
+        @jax.jit
+        def run_solve(data_b, warm):
+            def rep(eps, _):
+                d = data_b._replace(q=data_b.q + eps)
+                sol = admm.solve_adaptive(
+                    d, warm, max_iter=600, box_tail=192, use_pallas=up
+                )
+                return jnp.sum(sol.x) * 1e-30, sol.iters
 
-        out, iters = jax.lax.scan(rep, jnp.asarray(0.0, jnp.float32), None, length=K)
-        return out, iters
+            out, iters = jax.lax.scan(
+                rep, jnp.asarray(0.0, jnp.float32), None, length=K
+            )
+            return out, iters
+
+        return run_solve
+
+    run_solve = make_run_solve(jax.default_backend() != "cpu")
+    run_solve_xla = make_run_solve(False)
 
     # ---- phase: ticks ----------------------------------------------------
     @jax.jit
@@ -244,6 +287,9 @@ def main():
 
     res = {}
     res["pre_ms"] = timed(run_pre, state_b) / K * 1e3
+    res["refgen_ms"] = timed(run_refgen, state_b) / K * 1e3
+    res["qpbuild_ms"] = timed(run_qpbuild, traj_b) / K * 1e3
+    res["solve_xla_twin_ms"] = timed(run_solve_xla, data_b, state_b.solver) / K * 1e3
     t_solve = timed(run_solve, data_b, state_b.solver)
     _, iters = run_solve(data_b, state_b.solver)
     res["solve_ms"] = t_solve / K * 1e3
