@@ -39,6 +39,7 @@ import numpy as np
 from jax import lax
 
 from convex_mpc_tpu.mpc.qp import QpData
+from convex_mpc_tpu.ops.linalg import inv_small_unrolled
 
 _PRECISION = lax.Precision.HIGHEST
 
@@ -531,7 +532,7 @@ def ruiz_equilibrate_structured(
         "max_iter", "check_every", "scaling_iters", "box_tail",
         "rho_refactor_ratio", "setup_precision", "debug", "polish",
         "polish_rounds", "use_pallas", "nu", "small_force_scale",
-        "return_polished",
+        "return_polished", "polish_snap",
     ),
 )
 def solve_adaptive(
@@ -544,7 +545,8 @@ def solve_adaptive(
     eps_rel: float = 1e-4,
     max_iter: int = 600,
     check_every: int = 25,
-    scaling_iters: int = 10,
+    scaling_iters: int = 5,  # reference OSQP setting (centroidal_mpc.py:33 'scaling': 5); each deferred sweep
+    # re-streams the (B, nz, nz) Hessian for its norms (~1.8 ms/sweep at B=512)
     box_tail: int = 0,
     rho_refactor_ratio: float = 5.0,
     stall_tol: float = 0.02,
@@ -558,6 +560,7 @@ def solve_adaptive(
     nu: int = 12,
     small_force_scale: float = 50.0,
     return_polished: bool = True,
+    polish_snap: bool = False,
 ) -> AdmmSolution:
     """Batched adaptive-iteration ADMM with refactor-on-demand.
 
@@ -895,7 +898,10 @@ def solve_adaptive(
                 ridge = 1e-7 * jnp.maximum(
                     jnp.einsum("bnkk->bn", CC)[..., None, None], 1e-2
                 )
-                CCi = jnp.linalg.inv(CC + ridge * jnp.eye(7, dtype=dtype))
+                # unrolled elimination: XLA's batched LU custom call for
+                # these (B, nb, 7, 7) blocks profiled at ~57 ms/solve on
+                # TPU (serialized pivoting) vs ~0.1 ms unrolled
+                CCi = inv_small_unrolled(CC + ridge * jnp.eye(7, dtype=dtype))
 
                 def cc_solve(v):  # (B, nb, 7) -> (B, nb, 7)
                     return jnp.einsum("bnkl,bnl->bnk", CCi, v)
@@ -1037,8 +1043,9 @@ def solve_adaptive(
                 ok_pol, r = rcarry[4], rcarry[5]
                 return (r < polish_rounds) & ~ok_pol.all()
 
-            # Fast path: the SNAP proposal (iterate's null-space component
-            # kept, active rows snapped — block-local arithmetic only, no
+            # Optional fast path (polish_snap, default OFF): a SNAP
+            # proposal — keep the iterate's null-space component and snap
+            # only the active-row component (block-local arithmetic, no
             # nz x nz formation, no SPD inverse). Trusting the iterate's
             # flat-direction component is only safe when the iterate has
             # SETTLED (moved <= stall_tol over the last chunk): the f32
@@ -1047,14 +1054,21 @@ def solve_adaptive(
             # 2-7% off there (regression population
             # tests/test_polish_regression.py — cycle 151 certifies a
             # 3.2%-off snap without this gate; settled iterates measure
-            # 0.02-0.06% off, round 3). In steady trot the settled
-            # warm-started iterate certifies directly and the reduced
-            # ladder below is skipped batch-globally (lax.cond, so the
-            # expensive branch is genuinely not executed).
-            x_sn, y_sn, st_sn = polish_core(act_lo, act_hi, reduced=False)
-            ok_sn = certify(act_lo, act_hi, x_sn, y_sn, st_sn) & (
-                step <= stall_tol
-            )
+            # 0.02-0.06% off, round 3). MEASURED OFF by default: skipping
+            # the ladder requires the whole batch to snap-certify
+            # (lax.cond is batch-global), and at B = 512 some scenario is
+            # always still moving at the first accept attempt — the snap
+            # then only adds its own cost to every attempt. Kept behind a
+            # flag as the adjudicated experiment; revisit if a
+            # per-scenario compaction path ever lands.
+            if polish_snap:
+                x_sn, y_sn, st_sn = polish_core(act_lo, act_hi, reduced=False)
+                ok_sn = certify(act_lo, act_hi, x_sn, y_sn, st_sn) & (
+                    step <= stall_tol
+                )
+            else:
+                x_sn = jnp.zeros_like(x_it_raw)
+                ok_sn = jnp.zeros((B,), bool)
 
             def ladder():
                 rcarry0 = (
@@ -1071,11 +1085,14 @@ def solve_adaptive(
                 out = lax.while_loop(round_cond, round_body, rcarry)
                 return out[0], out[1], out[2], out[3], out[4]
 
-            a_lo, a_hi, x_pol_raw, best_obj, ok_pol = lax.cond(
-                ok_sn.all(),
-                lambda: (act_lo, act_hi, x_sn, obj(x_sn), ok_sn),
-                ladder,
-            )
+            if polish_snap:
+                a_lo, a_hi, x_pol_raw, best_obj, ok_pol = lax.cond(
+                    ok_sn.all(),
+                    lambda: (act_lo, act_hi, x_sn, obj(x_sn), ok_sn),
+                    ladder,
+                )
+            else:
+                a_lo, a_hi, x_pol_raw, best_obj, ok_pol = ladder()
             if debug:
                 jax.debug.print(
                     "polish: n_act {na}->{nb} viol x={vx} pol={vp} "

@@ -48,7 +48,7 @@ to the reference (centroidal_mpc.py:20-38,98).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -211,51 +211,56 @@ def admm_iterations(
 # ---------------------------------------------------------------------------
 # Structured condensed-QP iteration pair (solve_adaptive path)
 # ---------------------------------------------------------------------------
-@lru_cache(maxsize=8)
-def _sel_matrices(nb: int, mp: int, np_: int):
-    """0/1 spread matrices between row layout (m) and variable layout (nz).
-
-    Selection matmuls are exact — each output element is a sum with at most
-    one nonzero term — so they carry values between layouts without any
-    rounding, which the bitwise XLA/Pallas equivalence relies on.
-    """
-    nz, m_fr = nb * 3, nb * 4
-    sel_f = np.zeros((4, mp, np_), np.float32)  # w rows -> face-f value at vars
-    for f in range(4):
-        for n in range(nb):
-            for r in range(3):
-                sel_f[f, n * 4 + f, n * 3 + r] = 1.0
-    sel_box = np.zeros((mp, np_), np.float32)  # w box rows -> vars
-    for j in range(nz):
-        sel_box[m_fr + j, j] = 1.0
-    sel_r = np.zeros((3, np_, mp), np.float32)  # v -> coord-r value at rows
-    for r in range(3):
-        for n in range(nb):
-            for f in range(4):
-                sel_r[r, n * 3 + r, n * 4 + f] = 1.0
-    sel_vbox = np.zeros((np_, mp), np.float32)  # v -> box-row positions
-    for j in range(nz):
-        sel_vbox[j, m_fr + j] = 1.0
-    return sel_f, sel_box, sel_r, sel_vbox
-
-
-def _structured_kernel(cf_ref, dr_ref, boxv_ref, self_ref,
-                       sbox_ref, srl_ref, svbox_ref, Minv_ref, q_ref, l_ref,
+def _structured_kernel(cf_ref, dr_ref, boxv_ref, Minv_ref, q_ref, l_ref,
                        u_ref, rho_ref, x0_ref, z0_ref, y0_ref,
-                       x_out, z_out, y_out, *, iters, sigma, alpha, np_):
+                       x_out, z_out, y_out, *, iters, sigma, alpha, np_, nb):
     cf = cf_ref[:]        # (K, 4, np_)  C by face, variable layout
     dr = dr_ref[:]        # (K, 3, mp)   C by coord, row layout
     boxv = boxv_ref[:]    # (K, 1, np_)  box diag, variable layout
-    sel_f = self_ref[:]   # (4, mp, np_)
-    sbox = sbox_ref[:]    # (mp, np_)
-    sel_r = srl_ref[:]    # (3, np_, mp)
-    svbox = svbox_ref[:]  # (np_, mp)
     Minv = Minv_ref[:]    # (K, np_, np_) zero-padded
     q = q_ref[:]          # (K, 1, np_)
     l = l_ref[:]
     u = u_ref[:]
     rho = rho_ref[:]      # (K, 1, mp), 0 on padding
     rho_safe = jnp.where(rho > 0, rho, 1.0)
+    mp = l.shape[-1]
+    nz, m_fr = nb * 3, nb * 4
+
+    # 0/1 spread matrices between row layout (m) and variable layout (nz),
+    # built from iota IN VMEM: passing them as (broadcast) operands was
+    # measured to re-stream ~4.5 MB into every grid program (~10 ms/chunk
+    # at B = 512, block_k = 4); as loop-invariant kernel values they are
+    # materialized once per program. Selection matmuls are exact — each
+    # output element is a sum with at most one nonzero term — so they
+    # carry values between layouts without rounding, which the bitwise
+    # XLA/Pallas equivalence relies on.
+    # All five row->var spreads ride ONE dot against a (mp, 5*np_) matrix
+    # (and the four var->row spreads one dot against (np_, 4*mp)): a
+    # (K, 1, a) @ (a, b) selection matmul has M = 1, so its cost is pure
+    # issue latency — 8 separate dots per iteration measured ~11 ms per
+    # 25-iteration chunk at B = 512; combined, 2 dots. Slicing the wide
+    # exact result afterwards yields bit-identical values.
+    rm = jax.lax.broadcasted_iota(jnp.int32, (mp, 5 * np_), 0)  # constraint row
+    cw = jax.lax.broadcasted_iota(jnp.int32, (mp, 5 * np_), 1)
+    f_id = cw // np_  # which spread: face 0..3, then box
+    cv = cw % np_     # variable col
+    fr_block = (rm // 4 == cv // 3) & (rm < m_fr) & (cv < nz)
+    # logical composition, not jnp.where: Mosaic cannot lower selects over
+    # wide i1 vectors ("unsupported target bitwidth for truncation")
+    sel_row2var = (
+        ((f_id < 4) & fr_block & (rm % 4 == f_id))
+        | ((f_id == 4) & (rm - m_fr == cv) & (rm >= m_fr) & (cv < nz))
+    ).astype(jnp.float32)
+
+    rv = jax.lax.broadcasted_iota(jnp.int32, (np_, 4 * mp), 0)  # variable row
+    cw2 = jax.lax.broadcasted_iota(jnp.int32, (np_, 4 * mp), 1)
+    r_id = cw2 // mp  # which spread: coord 0..2, then box
+    cm = cw2 % mp     # constraint col
+    vr_block = (cm // 4 == rv // 3) & (cm < m_fr) & (rv < nz)
+    sel_var2row = (
+        ((r_id < 3) & vr_block & (rv % 3 == r_id))
+        | ((r_id == 3) & (cm - m_fr == rv) & (rv < nz))
+    ).astype(jnp.float32)
 
     def _spread(vec, sel):
         # (K, 1, a) @ (a, b): 0/1 selection — exact
@@ -264,18 +269,26 @@ def _structured_kernel(cf_ref, dr_ref, boxv_ref, self_ref,
             preferred_element_type=jnp.float32, precision=_PREC)
 
     def mv_AT(w):  # (K, 1, mp) -> (K, 1, np_): same 4-term order as XLA twin
+        wide = _spread(w, sel_row2var)  # (K, 1, 5*np_)
         acc = None
         for f in range(4):
-            term = cf[:, f:f + 1, :] * _spread(w, sel_f[f])
+            term = cf[:, f:f + 1, :] * wide[:, :, f * np_:(f + 1) * np_]
             acc = term if acc is None else acc + term
-        return acc + boxv * _spread(w, sbox)
+        return acc + boxv * wide[:, :, 4 * np_:]
+
+    # box diag in ROW layout, via the same exact spread (loop-invariant);
+    # (boxv * v) spread = spread(boxv) * spread(v) elementwise — the same
+    # two floats multiply either way, so this is bit-identical to the
+    # twin's boxv * v in variable space
+    boxr = _spread(boxv, sel_var2row[:, 3 * mp:])  # (K, 1, mp)
 
     def mv_A(v):  # (K, 1, np_) -> (K, 1, mp): same 3-term order as XLA twin
+        wide = _spread(v, sel_var2row)  # (K, 1, 4*mp)
         acc = None
         for r in range(3):
-            term = dr[:, r:r + 1, :] * _spread(v, sel_r[r])
+            term = dr[:, r:r + 1, :] * wide[:, :, r * mp:(r + 1) * mp]
             acc = term if acc is None else acc + term
-        return acc + _spread(boxv * v, svbox)
+        return acc + boxr * wide[:, :, 3 * mp:]
 
     # identity for the exact column->row transpose (kernels cannot capture
     # array constants — compute from iota)
@@ -391,7 +404,7 @@ def admm_iterations_structured(
     iters: int,
     sigma: float = 1e-6,
     alpha: float = 1.6,
-    block_k: int = 4,
+    block_k: int = 32,
     interpret: bool | None = None,
 ):
     """VMEM-resident structured ADMM chunk, bitwise == the XLA twin.
@@ -409,8 +422,6 @@ def admm_iterations_structured(
     np_ = _next_pow2(max(nz, 128))
     mp = _round_up(m, 128)
     bp = _round_up(B, block_k)
-
-    sel_f, sbox, sel_r, svbox = map(jnp.asarray, _sel_matrices(nb, mp, np_))
 
     def padb(a):  # pad batch axis
         return jnp.pad(a, [(0, bp - B)] + [(0, 0)] * (a.ndim - 1))
@@ -431,20 +442,14 @@ def admm_iterations_structured(
         return pl.BlockSpec((block_k,) + shape, lambda i: (i,) + (0,) * nd,
                             memory_space=pltpu.VMEM)
 
-    def bc(shape):  # broadcast (shared) operand
-        nd = len(shape)
-        return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
-
     out_sh = (jax.ShapeDtypeStruct((bp, 1, np_), jnp.float32),
               jax.ShapeDtypeStruct((bp, 1, mp), jnp.float32),
               jax.ShapeDtypeStruct((bp, 1, mp), jnp.float32))
     x, z, y = pl.pallas_call(
         partial(_structured_kernel, iters=iters, sigma=sigma, alpha=alpha,
-                np_=np_),
+                np_=np_, nb=nb),
         grid=grid,
         in_specs=[bs((4, np_)), bs((3, mp)), bs((1, np_)),
-                  bc((4, mp, np_)), bc((mp, np_)), bc((3, np_, mp)),
-                  bc((np_, mp)),
                   bs((np_, np_)), bs((1, np_)), bs((1, mp)), bs((1, mp)),
                   bs((1, mp)), bs((1, np_)), bs((1, mp)), bs((1, mp))],
         out_specs=(bs((1, np_)), bs((1, mp)), bs((1, mp))),
@@ -453,7 +458,7 @@ def admm_iterations_structured(
             vmem_limit_bytes=int(100 * 1024 * 1024),
         ),
         interpret=interpret,
-    )(padb(cf), padb(dr), padb(boxv), sel_f, sbox, sel_r, svbox,
+    )(padb(cf), padb(dr), padb(boxv),
       padb(Minv_p), padb(pad_v(q)), padb(pad_r(l)), padb(pad_r(u)),
       padb(pad_r(rho_vec)), padb(pad_v(x0)), padb(pad_r(z0)), padb(pad_r(y0)))
     return x[:B, 0, :nz], z[:B, 0, :m], y[:B, 0, :m]

@@ -48,6 +48,44 @@ def inv3(A):
     return adj / det[..., None, None]
 
 
+def inv_small_unrolled(A):
+    """Unrolled SPD inverse of a small (..., n, n) batch (static n).
+
+    XLA lowers batched `jnp.linalg.inv` of tiny matrices through a pivoted
+    LU custom call that serializes catastrophically on TPU for large
+    batches of small blocks — profiled at ~57 ms per solve for the
+    (B, nb, 7, 7) active-set Gram blocks of the certified polish
+    (mpc/admm.py) vs ~0.1 ms for this unrolled form, whose every step is
+    an elementwise/tiny-matmul op over the batch axes.
+
+    Method: unrolled Cholesky + unrolled triangular inverse + Gram —
+    Cholesky is backward-stable for SPD matrices WITHOUT pivoting, so the
+    polish's near-singular rank<=3 Grams (+1e-7*trace ridge) keep
+    f32-pivoted-LU-level accuracy (plain Gauss-Jordan without pivoting
+    was measured 10%+ off there; tests/test_linalg.py covers both the
+    well-conditioned and the real active-set regimes).
+    """
+    n = A.shape[-1]
+    idx = jnp.arange(n)
+    L = jnp.zeros_like(A)
+    for k in range(n):
+        lkk = jnp.sqrt(A[..., k, k])
+        col = A[..., :, k] / lkk[..., None]  # (..., n)
+        col = jnp.where(idx >= k, col, 0.0)
+        L = L.at[..., :, k].set(col)
+        A = A - col[..., :, None] * col[..., None, :]
+    # X = L^-1 by unrolled forward substitution (rows of X filled top-down;
+    # rows >= k of X are still zero, so the matmul sums only j < k)
+    eye = jnp.eye(n, dtype=L.dtype)
+    X = jnp.zeros_like(L)
+    for k in range(n):
+        s = jnp.einsum("...j,...jc->...c", L[..., k, :], X)
+        row = (eye[k] - s) / L[..., k, k][..., None]
+        X = X.at[..., k, :].set(row)
+    # A^-1 = L^-T L^-1 = X' X
+    return jnp.einsum("...ki,...kj->...ij", X, X)
+
+
 class ArrowFactor(NamedTuple):
     """Factorization of an 18x18 SPD matrix with Go2 'arrow' structure.
 
