@@ -68,6 +68,10 @@ def main():
     ap.add_argument("--xla", action="store_true",
                     help="force the XLA-twin iteration engine (default: "
                          "platform default = Pallas kernel on TPU)")
+    ap.add_argument("--ramp", action="store_true",
+                    help="slew-rate-limit the command schedule "
+                         "(engine.ramp_schedule) — the shipped margin "
+                         "widener for the chaos-marginal hard steps")
     ap.add_argument("--pos-mm", type=float, default=2.0)
     ap.add_argument("--ang-mrad", type=float, default=2.0)
     ap.add_argument("--vel-mms", type=float, default=10.0)
@@ -96,7 +100,10 @@ def main():
     contact = P.default_contact(kn=30000, dn=1000)
     gait_b = E.broadcast_batch(G.make_gait_params(3.0, 0.6), B)
     contact_b = E.broadcast_batch(contact, B)
-    sched_b = E.broadcast_batch(E.reference_schedule(), B)
+    sched = E.reference_schedule()
+    if args.ramp:
+        sched = E.ramp_schedule(sched)
+    sched_b = E.broadcast_batch(sched, B)
     state = E.init_state(dyn, n=16)
     state = state._replace(plant=P.init_plant(dyn, contact=contact))
     state_b = E.broadcast_batch(state, B)
@@ -180,6 +187,7 @@ def main():
     lo = clopper_pearson_low(k, n)
     report = {
         "profile": "tuned" if args.tuned else "raw",
+        "schedule": "ramped" if args.ramp else "raw-steps",
         "engine": "xla-twin" if args.xla else "platform-default(pallas on tpu)",
         "point": "iterate" if args.return_iterate else "polished",
         "batch": n,
