@@ -21,9 +21,12 @@ Methodology notes:
 - The legacy fixed-iteration engine path at 150/400 iters is reported as
   the iters->throughput reference curve.
 
-vs_baseline: the reference runs ONE robot at its 48 Hz MPC rate on a CPU
-(real-time budget 20.8 ms/solve, README.md:177-184 — barely met). Each
-multiple of 48 solves/s equals one more real-time robot served per chip.
+realtime_robots_per_chip_throughput: the reference never published a solve
+time; it runs ONE robot at its 48 Hz MPC rate on a CPU (real-time budget
+20.8 ms/solve, README.md:177-184 — barely met as of its changelog). The
+field divides throughput by an ASSUMED 48 solves/s per robot (flagged by
+assumes_48hz_reference) — a throughput-derived serving equivalent, not a
+measured baseline ratio.
 
 Prints exactly one JSON line.
 """
@@ -36,8 +39,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from convex_mpc_tpu.utils.config import DEFAULT_CONFIG
+
 BATCH = int(os.environ.get("BENCH_BATCH", "512"))
-MAX_ITER = 1000  # adaptive escalation cap (certified: completes the schedule)
+# adaptive escalation cap (certified: completes the schedule) — the single
+# source of truth is the config tree (SolverConfig.max_iter)
+MAX_ITER = DEFAULT_CONFIG.solver.max_iter
 WINDOWS = 3
 CYCLES_PER_WINDOW = 16  # one full gait period: all contact phases sampled
 
@@ -63,15 +70,17 @@ def main():
         plant=state_b.plant._replace(q=state_b.plant.q.at[:, 0].add(xs))
     )
 
+    from convex_mpc_tpu.utils.config import engine_kwargs_batched
+
+    kw = engine_kwargs_batched(DEFAULT_CONFIG)
+
     def adaptive_step(s):
-        s2, log = E.mpc_cycle_batch(
-            dyn, gait_b, contact_b, sched_b, s, solver_iters=MAX_ITER
-        )
+        s2, log = E.mpc_cycle_batch(dyn, gait_b, contact_b, sched_b, s, **kw)
         return s2, log.solver_iters
 
     def fixed_step_fn(iters):
         def step(s):
-            s2, _ = E.mpc_cycle(dyn, G.make_gait_params(3.0, 0.6), contact,
+            s2, _ = E.mpc_cycle_fixed(dyn, G.make_gait_params(3.0, 0.6), contact,
                                 E.constant_schedule(vx=0.5), s, n=16,
                                 solver_iters=iters)
             return s2, jnp.zeros(())
@@ -120,7 +129,13 @@ def main():
                 "metric": "mpc_solves_per_s_per_chip",
                 "value": round(solves_ada, 1),
                 "unit": "solves/s/chip (each = 16-step QP + 20 x 1kHz rollout ticks)",
+                # the reference never published a solves/s number; this is
+                # throughput / one assumed 48 Hz real-time robot, kept as
+                # vs_baseline for the driver's schema
                 "vs_baseline": round(solves_ada / 48.0, 2),
+                "vs_baseline_is_assumed": True,
+                "realtime_robots_per_chip_throughput": round(solves_ada / 48.0, 2),
+                "assumes_48hz_reference": True,
                 "batch": BATCH,
                 "solver": "adaptive+certified-polish, structured QP, pallas kernels",
                 "solver_max_iter": MAX_ITER,

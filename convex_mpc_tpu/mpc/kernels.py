@@ -146,7 +146,7 @@ def admm_iterations(
     Returns (x, z, y) with the original (unpadded) shapes.
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
     b, m, n = A.shape
     mp = _round_up(m, 128)
     np_ = _round_up(n, 128)
@@ -413,7 +413,7 @@ def admm_iterations_structured(
     (B, m, nz) constraint matrix is never materialized anywhere.
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
     B, nb = C.shape[0], C.shape[1]
     nz, m_fr = nb * 3, nb * 4
     m = m_fr + nz

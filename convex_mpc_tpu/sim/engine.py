@@ -225,7 +225,7 @@ def observe(
         "use_pallas",
     ),
 )
-def mpc_cycle(
+def mpc_cycle_fixed(
     dyn: D.Go2Dyn,
     gait: G.GaitParams,
     contact: P.ContactParams,
@@ -245,7 +245,14 @@ def mpc_cycle(
     formulation: str = "condensed",
     use_pallas: bool = False,
 ) -> tuple[EngineState, CycleLog]:
-    """One MPC period: solve the QP, then run steps_per_mpc 1 kHz ticks."""
+    """One MPC period on the LEGACY fixed-segment solver (``admm.solve``
+    with rho reset each cycle).
+
+    Retained only as the iteration->throughput reference curve (bench.py)
+    and for solver-comparison tools/tests; every production behavior claim
+    runs :func:`mpc_cycle` / :func:`mpc_cycle_batch` (the certified
+    adaptive solver). Safe to ``vmap`` (per-scenario control flow is
+    fixed-shape), unlike the batch-global adaptive path."""
     cmd = lookup_command(sched, state.t)
 
     obs, yaw_cont, yaw_prev = observe(
@@ -320,6 +327,22 @@ def _run_ticks(
 ):
     """The 1 kHz inner loop of one MPC period (reference test_MPC.py:160-236)."""
     alpha = 1.0 - jnp.exp(-2.0 * jnp.pi * vel_filter_hz * sim_dt)
+    # reference-level clip (test_MPC.py:71, +-45) AND the per-joint
+    # actuator ctrlrange MuJoCo enforces on the cross-validation plant
+    # (hip/thigh 23.7, calf 45.43, go2_params.py:103-105) — both plants
+    # must saturate identically or TPU-plant margins overstate.
+    from convex_mpc_tpu.models.go2_params import DEFAULT_PARAMS as _gp
+
+    lim = jnp.minimum(
+        jnp.tile(
+            jnp.array(
+                [_gp.hip_torque_max, _gp.thigh_torque_max, _gp.calf_torque_max],
+                jnp.float32,
+            ),
+            4,
+        ).reshape(4, 3),
+        tau_max,
+    )
 
     def tick(carry, i):
         plant, leg_state, yc, yp, vfilt, t = carry
@@ -327,9 +350,7 @@ def _run_ticks(
         yc, yp = yaw_unwrap_step(rpy[2], yp, yc)
         leg_obs = L.make_leg_obs(dyn, plant.q, plant.dq, yc)
         # velocity estimator update (1 kHz, so contact ring is resolvable)
-        from convex_mpc_tpu.ops.rotations import quat_to_rotmat as _qr
-
-        omega_w = ein("ij,j->i", _qr(plant.q[3:7]), plant.dq[3:6])
+        omega_w = ein("ij,j->i", leg_obs.base_R, plant.dq[3:6])
         raw6 = jnp.concatenate([leg_obs.vel_com_world, omega_w])
         vfilt = vfilt + alpha * (raw6 - vfilt)
         leg_obs = leg_obs._replace(vel_com_world=vfilt[0:3])
@@ -337,20 +358,6 @@ def _run_ticks(
             leg_state, gait, leg_obs, u0,
             traj.pos_des_world, traj.vel_des_world, cmd.yaw_rate, t,
         )
-        # reference-level clip (test_MPC.py:71, +-45) AND the per-joint
-        # actuator ctrlrange MuJoCo enforces on the cross-validation plant
-        # (hip/thigh 23.7, calf 45.43, go2_params.py:103-105) — both plants
-        # must saturate identically or TPU-plant margins overstate.
-        from convex_mpc_tpu.models.go2_params import DEFAULT_PARAMS as _gp
-
-        joint_lim = jnp.tile(
-            jnp.array(
-                [_gp.hip_torque_max, _gp.thigh_torque_max, _gp.calf_torque_max],
-                out.tau.dtype,
-            ),
-            4,
-        ).reshape(out.tau.shape)
-        lim = jnp.minimum(joint_lim, tau_max)
         tau = jnp.clip(out.tau, -lim, lim)
         x_vec = jnp.concatenate(
             [leg_obs.pos_com_world, jnp.stack([rpy[0], rpy[1], yc]), raw6]
@@ -381,7 +388,7 @@ def _run_ticks(
 
 
 def cycle_update(dyn, gait_i, sched_i, state_i, qd, n, mpc_dt, r_value,
-                 mu_mpc, fz_min):
+                 mu_mpc, fz_min, brake_accel=0.0):
     """Per-scenario "update" stage of the MPC cycle: command lookup +
     observation + reference generation + condensed QP assembly (the
     reference's `update`/`update_model_simplified` + CasADi assembly,
@@ -391,7 +398,10 @@ def cycle_update(dyn, gait_i, sched_i, state_i, qd, n, mpc_dt, r_value,
     obs, yaw_cont, yaw_prev = observe(
         dyn, state_i.plant, state_i.yaw_cont, state_i.yaw_prev, state_i.vel_filt
     )
-    traj, refgen = R.generate(state_i.refgen, gait_i, obs, cmd, state_i.t, mpc_dt, n)
+    traj, refgen = R.generate(
+        state_i.refgen, gait_i, obs, cmd, state_i.t, mpc_dt, n,
+        brake_accel=brake_accel,
+    )
     p0 = traj.x0[0:3]
     # block-form QP: the dense (m, nz) constraint matrix is never built
     # (condensed.StructuredQp — solve_adaptive consumes the blocks)
@@ -407,6 +417,7 @@ def cycle_update(dyn, gait_i, sched_i, state_i, qd, n, mpc_dt, r_value,
     static_argnames=(
         "n", "steps_per_mpc", "solver_iters", "tau_max", "mpc_dt", "sim_dt",
         "check_every", "stall_tol", "polish", "use_pallas", "return_polished",
+        "brake_accel",
     ),
 )
 def mpc_cycle_batch(
@@ -431,6 +442,7 @@ def mpc_cycle_batch(
     polish: bool = True,
     use_pallas: bool | None = None,
     return_polished: bool = True,
+    brake_accel: float = 0.0,
 ) -> tuple[EngineState, CycleLog]:
     """One MPC period for a scenario BATCH with the batch-global adaptive solver.
 
@@ -449,7 +461,7 @@ def mpc_cycle_batch(
     def pre(gait_i, sched_i, state_i):
         return cycle_update(
             dyn, gait_i, sched_i, state_i, qd, n, mpc_dt, r_value, mu_mpc,
-            fz_min,
+            fz_min, brake_accel=brake_accel,
         )
 
     data_b, traj_b, refgen_b, cmd_b, yc_b, yp_b = jax.vmap(pre)(gait, sched, state)
@@ -462,7 +474,7 @@ def mpc_cycle_batch(
         # tests/test_kernels.py), so closed-loop certification transfers
         # between the two paths and the choice is pure performance. Off-TPU
         # the kernel would run in interpret mode; use the twin there.
-        use_pallas = jax.default_backend() != "cpu"
+        use_pallas = jax.default_backend() == "tpu"
     sol = admm.solve_adaptive(
         data_b, state.solver, max_iter=solver_iters, check_every=check_every,
         box_tail=n * 12, stall_tol=stall_tol, polish=polish,
@@ -524,6 +536,32 @@ def cycle_apply(dyn, gait, contact, state, sol, traj_b, refgen_b, cmd_b,
     return new_state, log
 
 
+def mpc_cycle(
+    dyn: D.Go2Dyn,
+    gait: G.GaitParams,
+    contact: P.ContactParams,
+    sched: CommandSchedule,
+    state: EngineState,
+    **kwargs,
+) -> tuple[EngineState, CycleLog]:
+    """One MPC period for ONE scenario on the PRODUCTION solver.
+
+    Thin B=1 wrapper over :func:`mpc_cycle_batch`: the QP solve is
+    ``admm.solve_adaptive`` with certified polish accepts — the same code
+    path (and therefore the same certified numerics) as every batched
+    behavior/robustness claim. Accepts all ``mpc_cycle_batch`` keyword
+    arguments. Do NOT ``vmap`` this wrapper — use :func:`mpc_cycle_batch`
+    directly for batches (its control flow is batch-global); the legacy
+    fixed-segment per-scenario path lives on as :func:`mpc_cycle_fixed`.
+    """
+    b1 = lambda tree: jax.tree.map(lambda x: jnp.asarray(x)[None], tree)
+    new_b, log_b = mpc_cycle_batch(
+        dyn, b1(gait), b1(contact), b1(sched), b1(state), **kwargs
+    )
+    sq = lambda tree: jax.tree.map(lambda x: x[0], tree)
+    return sq(new_b), sq(log_b)
+
+
 def broadcast_batch(tree, batch: int):
     """Tile an unbatched pytree (EngineState, GaitParams, ...) to a batch."""
     return jax.tree.map(
@@ -540,10 +578,29 @@ def simulate(
     n_cycles: int,
     **cycle_kwargs,
 ) -> tuple[EngineState, CycleLog]:
-    """Run n_cycles MPC periods under one jit-compiled lax.scan."""
+    """Run n_cycles MPC periods under one jit-compiled lax.scan (production
+    adaptive solver via :func:`mpc_cycle`)."""
 
     def body(s, _):
         return mpc_cycle(dyn, gait, contact, sched, s, **cycle_kwargs)
+
+    return jax.lax.scan(body, state, None, length=n_cycles)
+
+
+def simulate_fixed(
+    dyn: D.Go2Dyn,
+    gait: G.GaitParams,
+    contact: P.ContactParams,
+    sched: CommandSchedule,
+    state: EngineState,
+    n_cycles: int,
+    **cycle_kwargs,
+) -> tuple[EngineState, CycleLog]:
+    """:func:`simulate` on the legacy fixed-segment solver
+    (:func:`mpc_cycle_fixed`) — solver-comparison use only."""
+
+    def body(s, _):
+        return mpc_cycle_fixed(dyn, gait, contact, sched, s, **cycle_kwargs)
 
     return jax.lax.scan(body, state, None, length=n_cycles)
 

@@ -180,7 +180,7 @@ def _make_batch_runner(n_cycles, solver_iters, collect_logs, adaptive, ck_items)
 
     def one(dyn, gait, contact, sched, state):
         def body(s, _):
-            s2, log = E.mpc_cycle(
+            s2, log = E.mpc_cycle_fixed(
                 dyn, gait, contact, sched, s,
                 solver_iters=solver_iters, **cycle_kwargs,
             )

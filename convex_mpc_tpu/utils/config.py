@@ -51,6 +51,10 @@ class MpcConfig:
     fz_min: float = 10.0  # stance min normal force, N (reference centroidal_mpc.py:127)
     fz_max: float = float("inf")
     max_pos_error: float = 0.1  # COM target clamp, m (reference com_trajectory.py:47)
+    # deceleration limiter on the velocity REFERENCE into stops (m/s^2;
+    # 0 = reference spec steps, control/reference.py generate). Tuned
+    # profile only — see TUNED_CONFIG.
+    brake_accel: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,11 +74,17 @@ class SolverConfig:
     alpha: float = 1.6  # over-relaxation
     eps_abs: float = 1e-4
     eps_rel: float = 1e-4
-    max_iter: int = 400
-    check_every: int = 10
+    # Certified production values (admm.solve_adaptive): escalation cap 1000
+    # completes the full 10 s reference schedule; OSQP-interval residual
+    # checks every 25; the reference's own OSQP scaling=5 sweeps
+    # (centroidal_mpc.py:33). bench.py and the engine defaults read THESE.
+    max_iter: int = 1000
+    check_every: int = 25
     adaptive_rho: bool = True
     warm_start: bool = True
-    scaling_iters: int = 10  # Ruiz equilibration sweeps (reference scaling=5)
+    scaling_iters: int = 5  # Ruiz equilibration sweeps (reference scaling=5)
+    stall_tol: float = 0.02  # N; fixed-point stall accept (solve_adaptive)
+    polish: bool = True  # certified active-set polish accepts
     formulation: str = "condensed"  # "condensed" (fast path) or "full"
 
 
@@ -127,8 +137,36 @@ class EngineConfig:
         return self.gait.period / self.mpc.horizon
 
 
-def engine_kwargs(cfg: "EngineConfig") -> dict:
-    """Static kwargs for sim.engine.mpc_cycle / simulate from the config tree."""
+def engine_kwargs_batched(cfg: "EngineConfig") -> dict:
+    """Static kwargs for the PRODUCTION engine paths from the config tree:
+    sim.engine.mpc_cycle_batch / mpc_cycle / simulate (adaptive solver)."""
+    return dict(
+        n=cfg.mpc.horizon,
+        steps_per_mpc=cfg.sim.steps_per_mpc,
+        solver_iters=cfg.solver.max_iter,
+        tau_max=cfg.leg.tau_max,
+        mpc_dt=cfg.mpc_dt,
+        sim_dt=cfg.sim.dt,
+        q_diag=cfg.mpc.q_diag,
+        r_value=cfg.mpc.r_diag_value,
+        mu_mpc=cfg.mpc.mu,
+        fz_min=cfg.mpc.fz_min,
+        vel_filter_hz=cfg.sim.vel_filter_hz,
+        check_every=cfg.solver.check_every,
+        stall_tol=cfg.solver.stall_tol,
+        polish=cfg.solver.polish,
+        brake_accel=cfg.mpc.brake_accel,
+    )
+
+
+# The per-scenario production wrapper consumes the same kwargs as the batch
+# path (engine.mpc_cycle is a B=1 wrapper over mpc_cycle_batch).
+engine_kwargs = engine_kwargs_batched
+
+
+def engine_kwargs_fixed(cfg: "EngineConfig") -> dict:
+    """Static kwargs for the LEGACY fixed-segment path
+    (sim.engine.mpc_cycle_fixed / simulate_fixed) — solver-comparison use."""
     return dict(
         n=cfg.mpc.horizon,
         steps_per_mpc=cfg.sim.steps_per_mpc,
@@ -189,7 +227,16 @@ DEFAULT_CONFIG = EngineConfig()
 # same transition at every solver cap tested (400/600/1000), with lateral
 # tracking unchanged. DEFAULT_CONFIG keeps the reference weights for spec
 # parity.
+#
+# brake_accel = 2.5: deceleration-limited velocity REFERENCE into stop
+# transitions (control/reference.py generate). The round-4 ensemble
+# localized the tuned profile's failures to the t = 9-10 sprint-stop
+# braking and proved the margin solver-independent; limiting only dv/dt
+# into stops (0.8 m/s -> 0 over ~0.32 s) removes the commanded impulse
+# without the rejected whole-schedule ramp's harmful side effects
+# (ensemble-certified, artifacts/ensemble_tuned_brake.json).
 TUNED_CONFIG = EngineConfig(
-    mpc=MpcConfig(q_diag=(1, 1, 50, 10, 20, 1, 2, 8, 4, 1, 1, 1))
+    mpc=MpcConfig(q_diag=(1, 1, 50, 10, 20, 1, 2, 8, 4, 1, 1, 1),
+                  brake_accel=2.5)
 )
 TUNED_Q_DIAG = TUNED_CONFIG.mpc.q_diag

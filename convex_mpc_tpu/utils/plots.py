@@ -236,14 +236,16 @@ def plot_open_loop_validation(x_opt, x_rollout, x_ref=None, path=None, block=Fal
     return _finish(fig, path, block)
 
 
-def plot_cycle_time(update_ms, solve_ms, apply_ms=None, budget_ms=20.833,
+def plot_cycle_time(update_ms, solve_ms, apply_ms=None, budget_ms=20.0,
                     batch=1, path=None, block=False):
     """Per-cycle update-vs-solve stacked bars against the real-time budget
     (reference plot_helper.py:217-253 `plot_solve_time`).
 
     ``update_ms``/``solve_ms``/``apply_ms`` are per-MPC-cycle wall times of
     the QP-assembly ("update"), QP-solve, and 1 kHz tick stages for the
-    WHOLE batch; the budget line is the 48 Hz MPC period — a batch cycle
+    WHOLE batch; the budget line defaults to the engine's actual replan
+    period steps_per_mpc * sim_dt = 20 ms (pass mpc_dt * 1e3 = 20.833
+    explicitly if the horizon step is the intended budget) — a batch cycle
     under the line serves all ``batch`` scenarios in real time on one chip.
     """
     plt = _plt()

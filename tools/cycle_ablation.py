@@ -172,7 +172,7 @@ def main():
 
         return run_solve
 
-    run_solve = make_run_solve(jax.default_backend() != "cpu")
+    run_solve = make_run_solve(jax.default_backend() == "tpu")
     run_solve_xla = make_run_solve(False)
 
     # ---- phase: ticks ----------------------------------------------------

@@ -149,7 +149,7 @@ def main():
             state = jax.tree.map(lambda a: a[0], state_b)
             iters.append(int(log.solver_iters[0]))
         else:
-            state, log = E.mpc_cycle(
+            state, log = E.mpc_cycle_fixed(
                 dyn, gait, contact, sched, state,
                 solver_iters=args.solver_iters, q_diag=tuple(Q),
             )

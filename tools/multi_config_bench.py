@@ -93,11 +93,11 @@ def main():
 
         def _fn(state, gait_b=gait_b, contact_b=contact_b, sched_b=sched_b,
                 n=n, mpc_dt=mpc_dt):
-            s, _ = E.mpc_cycle_batch(
+            s, log = E.mpc_cycle_batch(
                 dyn, gait_b, contact_b, sched_b, state, n=n,
                 solver_iters=args.iters, mpc_dt=mpc_dt,
             )
-            return s
+            return s, log.solver_iters
 
         fn = jax.jit(_fn)
         base = E.init_state(dyn, n=n)
@@ -121,7 +121,7 @@ def main():
 
     def advance_all():
         for r in runners:
-            r[2] = [r[1](s) for s in r[2]]
+            r[2] = [r[1](s)[0] for s in r[2]]
 
     t0 = time.time()
     for i in range(args.settle):  # compile (first call) + settle warm starts
@@ -145,15 +145,29 @@ def main():
     for name_fn_subs, (name, po, freq, duty, n, vx) in zip(runners, CONFIGS):
         _, fn, subs = name_fn_subs
         best = float("inf")
+        iters_log = []
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(args.reps):
-                subs = [fn(s) for s in subs]
+                out = [fn(s) for s in subs]
+                subs = [o[0] for o in out]
+                iters_log.append(np.concatenate([np.asarray(o[1]) for o in out]))
             jax.block_until_ready(subs)
             best = min(best, (time.perf_counter() - t0) / args.reps)
         name_fn_subs[2] = subs
-        z = np.concatenate([np.asarray(s.plant.q[:, 2]) for s in subs])
-        upright = float(((z > 0.1) & (z < 0.6) & np.isfinite(z)).mean())
+        it = np.concatenate(iters_log)
+        # upright = height band AND attitude (|roll,pitch| < 0.6) like every
+        # other gate in the repo (bench/ensemble/envelope) — a robot
+        # tumbling at z ~ 0.3 must not count as upright
+        from convex_mpc_tpu.ops.rotations import quat_to_rpy
+        q_all = np.concatenate([np.asarray(s.plant.q) for s in subs])
+        z = q_all[:, 2]
+        rpy = np.asarray(jax.vmap(quat_to_rpy)(jnp.asarray(q_all[:, 3:7])))
+        att_ok = np.abs(rpy[:, 0:2]).max(axis=1) < 0.6
+        upright = float(
+            ((z > 0.1) & (z < 0.6) & np.isfinite(z) & att_ok
+             & np.isfinite(q_all).all(axis=1)).mean()
+        )
         per_cfg[name] = {
             "horizon": n,
             "gait": f"{freq}Hz/{duty}",
@@ -161,6 +175,8 @@ def main():
             "ms_per_cycle": round(best * 1e3, 1),
             "solves_per_s": round(per / best, 1),
             "upright_rate": round(upright, 4),
+            "iters_mean": round(float(it.mean()), 1),
+            "iters_p99": round(float(np.percentile(it, 99)), 1),
         }
         print(json.dumps({name: per_cfg[name]}), flush=True)
 

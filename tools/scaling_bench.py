@@ -132,7 +132,7 @@ def main():
                 fn = jax.jit(_fn)  # one XLA program, like bench.py's adaptive_step
             else:
                 def step(state):
-                    s, _ = E.mpc_cycle(
+                    s, _ = E.mpc_cycle_fixed(
                         dyn, gait, contact, sched, state, n=16, solver_iters=args.iters
                     )
                     return s

@@ -63,7 +63,7 @@ def main():
     state = E.init_state(dyn, n=n)
     state = state._replace(plant=P.init_plant(dyn))
     for _ in range(10):
-        state, _ = E.mpc_cycle(dyn, gait, P.default_contact(), sched, state)
+        state, _ = E.mpc_cycle_fixed(dyn, gait, P.default_contact(), sched, state)
 
     cmd = E.lookup_command(sched, state.t)
     obs, _, _ = E.observe(dyn, state.plant, state.yaw_cont, state.yaw_prev, state.vel_filt)

@@ -97,7 +97,7 @@ def main():
         return admm.solve_adaptive(
             data_b, warm, max_iter=args.iters, box_tail=n * 12,
             nu=condensed.NU,
-            use_pallas=jax.default_backend() != "cpu",
+            use_pallas=jax.default_backend() == "tpu",
         )
 
     @jax.jit
