@@ -73,25 +73,24 @@ def init_state() -> LegControlState:
 def make_leg_obs(dyn: D.Go2Dyn, q: jnp.ndarray, dq: jnp.ndarray, yaw) -> LegObs:
     """Compute all controller inputs from the full model (one config).
 
-    Capability of reference go2_robot_data.update_model + accessors.
+    Capability of reference go2_robot_data.update_model + accessors, via
+    the single-pass ``dynamics.tick_model`` (one primal + one tangent
+    evaluation — the tick chain is op-issue-bound, see STATUS.md roofline).
     ``yaw`` is the continuous (unwrapped) yaw carried by the caller.
     """
-    poses = K.fk(dyn.kin, q)
-    J = K.point_jacobians(poses, poses.foot_w, K.FOOT_BODIES)
-    foot_vel = ein("lij,j->li", J, dq)
-    com, vcom = D.com_state(dyn, q, dq)
+    tm = D.tick_model(dyn, q, dq)
     return LegObs(
-        J_feet=J,
-        M=D.mass_matrix(dyn, q),
-        bias=D.bias_forces(dyn, q, dq),
-        jdot_qd=K.foot_jdot_qd(dyn.kin, q, dq),
-        foot_pos=poses.foot_w,
-        foot_vel=foot_vel,
+        J_feet=tm.J_feet,
+        M=tm.M,
+        bias=tm.bias,
+        jdot_qd=tm.jdot_qd,
+        foot_pos=tm.foot_pos,
+        foot_vel=tm.foot_vel,
         base_pos=q[0:3],
-        pos_com_world=com,
-        vel_com_world=vcom,
+        pos_com_world=tm.com,
+        vel_com_world=tm.vcom,
         yaw=jnp.asarray(yaw),
-        base_R=poses.R[0],
+        base_R=tm.base_R,
     )
 
 

@@ -148,6 +148,86 @@ def centroidal_inertia(dyn: Go2Dyn, q: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(I_w + shift, axis=0)
 
 
+class TickModel(NamedTuple):
+    """Every model quantity the 1 kHz controller/plant tick consumes."""
+
+    foot_pos: jnp.ndarray  # (4, 3) world foot centers
+    foot_vel: jnp.ndarray  # (4, 3) world foot velocities
+    J_feet: jnp.ndarray  # (4, 3, 18) world point Jacobians
+    M: jnp.ndarray  # (18, 18) mass matrix (no armature)
+    bias: jnp.ndarray  # (18,) C dq + g
+    jdot_qd: jnp.ndarray  # (4, 3) classical Jdot*dq per foot
+    com: jnp.ndarray  # (3,) world COM
+    vcom: jnp.ndarray  # (3,) world COM velocity
+    base_R: jnp.ndarray  # (3, 3) base orientation
+
+
+def tick_model(dyn: Go2Dyn, q: jnp.ndarray, dq: jnp.ndarray) -> TickModel:
+    """All per-tick model quantities from ONE kinematics pass + ONE tangent.
+
+    The 1 kHz tick chain is op-issue-bound on TPU (20 sequential steps of
+    18-dof arithmetic — see STATUS.md roofline), so the evaluation count
+    matters more than FLOPs. The separate entry points (`mass_matrix`,
+    `bias_forces`, `com_state`, `foot_jdot_qd`, kinematics.foot_state) each
+    rebuild FK/Jacobians and the two jvp-based quantities each carry their
+    own linearization; this function instead runs ``jax.linearize`` once —
+    one primal evaluation of the full model and one tangent application
+    along q̇ that yields the velocity-product accelerations (bias) AND the
+    foot J̇·dq together. Tangents of the non-velocity outputs are dead-code
+    eliminated by XLA. Equality with the individual entry points is
+    asserted in tests/test_dynamics_vs_mujoco.py.
+
+    Capability of reference go2_robot_data.update_model + accessors
+    (go2_robot_data.py:193-360) evaluated once per tick.
+    """
+    kin = dyn.kin
+    bodies = np.arange(NUM_BODIES)
+    foot_and_com_bodies = np.concatenate([bodies, K.FOOT_BODIES])
+
+    def model_fn(qq):
+        poses = K.fk(kin, qq)
+        com_w = poses.p + ein("bij,bj->bi", poses.R, dyn.com)
+        # one fused point-Jacobian build for the 13 body COMs + 4 feet
+        pts = jnp.concatenate([com_w, poses.foot_w], axis=0)  # (17, 3)
+        Jpts = K.point_jacobians(poses, pts, foot_and_com_bodies)
+        Jc, J_feet = Jpts[:NUM_BODIES], Jpts[NUM_BODIES:]
+        Jw = K.angular_jacobians(poses, bodies)
+        I_w = ein("bij,bjk,blk->bil", poses.R, dyn.inertia, poses.R)
+        # velocity map (linear in the FIXED dq): its tangent along q̇ gives
+        # the velocity-product accelerations and J̇·dq directly
+        v_b = ein("bij,j->bi", Jc, dq)
+        w_b = ein("bij,j->bi", Jw, dq)
+        fv = ein("lij,j->li", J_feet, dq)
+        return (v_b, w_b, fv), (poses.foot_w, J_feet, Jc, Jw, I_w, com_w,
+                                poses.R[0])
+
+    (vels, extras), lin = jax.linearize(model_fn, q)
+    (_, w_bodies, foot_vel) = vels
+    foot_pos, J_feet, Jc, Jw, I_w, com_w, base_R = extras
+    (a_com, alpha, jdot_qd), _ = lin(K.qdot(q, dq))
+
+    M = ein("b,bik,bil->kl", dyn.mass, Jc, Jc) + ein(
+        "bik,bij,bjl->kl", Jw, I_w, Jw
+    )
+    F = dyn.mass[:, None] * (a_com - GRAVITY[None, :])
+    Iw_omega = ein("bij,bj->bi", I_w, w_bodies)
+    N = ein("bij,bj->bi", I_w, alpha) + jnp.cross(w_bodies, Iw_omega)
+    bias = ein("bij,bi->j", Jc, F) + ein("bij,bi->j", Jw, N)
+    com = ein("b,bi->i", dyn.mass, com_w) / dyn.total_mass
+    vcom = ein("b,bi->i", dyn.mass, vels[0]) / dyn.total_mass
+    return TickModel(
+        foot_pos=foot_pos,
+        foot_vel=foot_vel,
+        J_feet=J_feet,
+        M=M,
+        bias=bias,
+        jdot_qd=jdot_qd,
+        com=com,
+        vcom=vcom,
+        base_R=base_R,
+    )
+
+
 def operational_space_inertia(M: jnp.ndarray, J_full: jnp.ndarray) -> jnp.ndarray:
     """Lambda = (J M^-1 J')^-1 (3,3) for a 3x18 point Jacobian.
 

@@ -524,6 +524,252 @@ def ruiz_equilibrate_structured(
 
 
 # ---------------------------------------------------------------------------
+# Certified active-set polish (module-level, sub-batch capable)
+# ---------------------------------------------------------------------------
+class PolishOps(NamedTuple):
+    """Per-scenario operands of the polish — gatherable into a compacted
+    sub-batch (every leaf carries the same leading batch axis)."""
+
+    p_dense: jnp.ndarray  # (B, nz, nz) RAW Hessian
+    q: jnp.ndarray  # (B, nz) RAW linear cost
+    l: jnp.ndarray  # (B, m) RAW bounds
+    u: jnp.ndarray  # (B, m)
+    is_eq: jnp.ndarray  # (B, m)
+    C: jnp.ndarray  # (B, nb, 4, 3) RAW friction blocks
+    box: jnp.ndarray  # (B, nz) RAW box-row diagonal
+    x_it: jnp.ndarray  # (B, nz) RAW-space iterate
+    o_x: jnp.ndarray  # (B,) iterate objective
+    v_x: jnp.ndarray  # (B,) iterate max constraint violation
+
+
+def _polish_ax(o: PolishOps, xc):
+    B, nz = o.q.shape
+    nb = nz // 3
+    m_fr = 4 * nb
+    fr = jnp.einsum(
+        "bnfr,bnr->bnf", o.C, xc.reshape(B, nb, 3), precision=_PRECISION
+    ).reshape(B, m_fr)
+    return jnp.concatenate([fr, o.box * xc], axis=-1)
+
+
+def _polish_viol(o: PolishOps, xc):
+    ax = _polish_ax(o, xc)
+    v = jnp.maximum(o.l - ax, ax - o.u)
+    return jnp.max(v.clip(min=0.0), axis=-1)
+
+
+def _polish_obj(o: PolishOps, xc):
+    pxc = jnp.einsum("bnm,bm->bn", o.p_dense, xc, precision=_PRECISION)
+    return 0.5 * jnp.sum(xc * pxc, -1) + jnp.sum(o.q * xc, -1)
+
+
+def _polish_core(o: PolishOps, a_lo, a_hi, reduced: bool, setup_precision):
+    """Project the iterate onto the active manifold; LS duals.
+
+    Returns (x_pol, y_rows, stat_res): the snapped point, the per-row
+    least-squares multipliers of the active rows, and the per-scenario
+    stationarity-support residual max_blocks |C' y - (-(P x + q))| — the
+    part of the gradient the active rows cannot support. A correct set
+    supports the gradient up to matvec noise; a set that pins a stiff
+    direction wrongly (or misses an active row) leaves an
+    O(curvature x displacement) unsupported component.
+
+    ``reduced`` (static) selects the null-space component:
+
+    - True: solve the reduced equality-constrained subproblem exactly
+      (batched nz x nz formation + SPD inverse — the expensive certified
+      path);
+    - False: KEEP the iterate's null-space component and only snap the
+      active-row component (pure block-local 7x7/3x3 arithmetic — no
+      nz x nz work at all). At a settled warm-started iterate the flat
+      directions are already placed by the contracting ADMM steps
+      (measured round 3: 0.02-0.06% from the f64 optimum, CLOSER than
+      the reduced solve's f32 Pi-P-Pi noise floor of ~1%).
+
+    See the design discussion in solve_adaptive's attempt_polish (null-
+    space form, no penalty absorption, the f32 Pi-P-Pi limit).
+    """
+    B, nz = o.q.shape
+    nb = nz // 3
+    m_fr = 4 * nb
+    dtype = o.q.dtype
+    face_rows = jnp.asarray(np.arange(m_fr).reshape(nb, 4))
+    blk_cols = jnp.asarray(np.arange(nz).reshape(nb, 3))
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye = jnp.eye(nz, dtype=dtype)
+
+    t_all = jnp.where(a_lo, o.l, jnp.where(a_hi, o.u, 0.0))
+    m_face = (a_lo | a_hi)[:, :m_fr][:, face_rows]
+    t_face = t_all[:, :m_fr][:, face_rows] * m_face
+    m_pin = (a_lo | a_hi)[:, m_fr:][:, blk_cols]
+    t_pin = t_all[:, m_fr:][:, blk_cols] * m_pin
+    coef_pin = o.box[:, blk_cols]
+    C = jnp.concatenate(
+        [
+            o.C * m_face[..., None],
+            eye3 * (coef_pin * m_pin)[..., :, None],
+        ],
+        axis=2,
+    )  # (B, nb, 7, 3)
+    b7 = jnp.concatenate([t_face, t_pin], axis=2)  # (B, nb, 7)
+    # One batched 7x7 factorization per block serves all three uses:
+    # minimum-norm particular solution, null-space projector, and the
+    # least-squares multipliers. (A 3x3 eigendecomposition formulation is
+    # mathematically cleaner but jnp.linalg.eigh lowers to an iterative
+    # algorithm that is catastrophically slow for 32k tiny matrices on TPU.)
+    CC = jnp.einsum("bnkr,bnlr->bnkl", C, C, precision=_PRECISION)
+    ridge = 1e-7 * jnp.maximum(
+        jnp.einsum("bnkk->bn", CC)[..., None, None], 1e-2
+    )
+    # unrolled elimination: XLA's batched LU custom call for these
+    # (B, nb, 7, 7) blocks profiled at ~57 ms/solve on TPU (serialized
+    # pivoting) vs ~0.1 ms unrolled
+    CCi = inv_small_unrolled(CC + ridge * jnp.eye(7, dtype=dtype))
+
+    def cc_solve(v):  # (B, nb, 7) -> (B, nb, 7)
+        return jnp.einsum("bnkl,bnl->bnk", CCi, v)
+
+    # min-norm particular solution x_p = C'(CC')^+ b
+    x_p_b = jnp.einsum("bnkr,bnk->bnr", C, cc_solve(b7))
+    x_p = x_p_b.reshape(B, nz)
+    # orthogonal projector onto the active rows' null space, per block:
+    # Pi = I - C'(CC')^+ C  (B, nb, 3, 3)
+    Pi_b = eye3 - jnp.einsum(
+        "bnkr,bnkl,bnls->bnrs", C, CCi, C, precision=_PRECISION
+    )
+    if reduced:
+        Pi = jnp.zeros((B, nz, nz), dtype).at[
+            :, blk_cols[:, :, None], blk_cols[:, None, :]
+        ].set(Pi_b)
+        # reduced problem over the null space: x = x_p + Pi w with
+        # (Pi P Pi + (I - Pi)) d = -Pi (q + P x_p). H carries the
+        # objective's own curvature only — no penalty term, so the flat
+        # R-scale curvature survives f32 formation; Jacobi scaling then
+        # normalizes the stiff/flat disparity for the f32 Cholesky.
+        PPi = jnp.matmul(o.p_dense, Pi, precision=setup_precision)
+        H = jnp.matmul(Pi, PPi, precision=setup_precision) + (eye - Pi)
+        rhs_r = -jnp.einsum(
+            "bnm,bn->bm", Pi,
+            o.q + jnp.einsum(
+                "bnm,bm->bn", o.p_dense, x_p, precision=_PRECISION
+            ),
+            precision=_PRECISION,
+        )
+        djr = jnp.sqrt(jnp.maximum(
+            jnp.diagonal(H, axis1=-2, axis2=-1), 1e-30
+        ))
+        Hn = H / (djr[:, :, None] * djr[:, None, :]) + 1e-6 * eye
+        # XLA's batched Cholesky + 1-RHS triangular solves serialize ~32 ms
+        # of column steps at B=512; the fused Pallas SPD inverse
+        # (ops/chol_kernel.py) runs the factorization in VMEM
+        if nz % 32 == 0:
+            from convex_mpc_tpu.ops.chol_kernel import spd_inverse
+
+            Hinv = spd_inverse(Hn)
+        else:
+            Lr = jnp.linalg.cholesky(Hn)
+            Lri = jax.scipy.linalg.solve_triangular(
+                Lr, jnp.broadcast_to(eye, Lr.shape), lower=True
+            )
+            Hinv = jnp.matmul(
+                jnp.swapaxes(Lri, -1, -2), Lri, precision=setup_precision
+            )
+        zr = jnp.einsum(
+            "bnm,bn->bm", Hinv, rhs_r / djr, precision=_PRECISION
+        ) / djr
+        x_pol = x_p + jnp.einsum("bmn,bn->bm", Pi, zr, precision=_PRECISION)
+    else:
+        # snap: keep the iterate's null-space component — block-local 3x3
+        # projector application only
+        x_pol = x_p + jnp.einsum(
+            "bnrs,bns->bnr", Pi_b, o.x_it.reshape(B, nb, 3),
+            precision=_PRECISION,
+        ).reshape(B, nz)
+    # block least-squares multipliers of the active rows
+    g_b = -(
+        jnp.einsum("bnm,bm->bn", o.p_dense, x_pol, precision=_PRECISION)
+        + o.q
+    ).reshape(B, nb, 3)
+    y7 = cc_solve(jnp.einsum("bnkr,bnr->bnk", C, g_b))
+    stat = jnp.einsum("bnkr,bnk->bnr", C, y7) - g_b
+    stat_res = jnp.max(jnp.abs(stat), axis=(-2, -1))
+    y_rows = jnp.concatenate(
+        [y7[..., :4].reshape(B, m_fr), y7[..., 4:].reshape(B, nz)],
+        axis=-1,
+    ) * (a_lo | a_hi)
+    return x_pol, y_rows, stat_res
+
+
+def _polish_refine(o: PolishOps, a_lo, a_hi, x_r, y_r):
+    """Add violated rows, drop wrong-sign-multiplier rows."""
+    fin_l = jnp.isfinite(o.l)
+    fin_u = jnp.isfinite(o.u)
+    ax_r = _polish_ax(o, x_r)
+    add_lo = fin_l & (o.l - ax_r > 1e-6)
+    add_hi = fin_u & (ax_r - o.u > 1e-6)
+    ysc = 1e-3 * jnp.maximum(jnp.max(jnp.abs(y_r), -1, keepdims=True), 1.0)
+    drop = (a_lo & ~o.is_eq & (y_r > ysc)) | (a_hi & (y_r < -ysc))
+    n_lo = (a_lo | add_lo) & ~drop
+    n_hi = ((a_hi | add_hi) & ~drop) & ~n_lo
+    return n_lo, n_hi
+
+
+def _polish_certify(o: PolishOps, a_lo, a_hi, x_c, y_c, stat_c, eps_abs):
+    feas = (_polish_viol(o, x_c) <= o.v_x + eps_abs) & jnp.isfinite(x_c).all(-1)
+    ysc = 1e-3 * jnp.maximum(jnp.max(jnp.abs(y_c), -1, keepdims=True), 1.0)
+    sign_ok = jnp.where(
+        a_lo & ~o.is_eq, y_c <= ysc, jnp.where(a_hi, y_c >= -ysc, True)
+    ).all(-1)
+    # unsupported-gradient tolerance: generous vs the f32 P matvec noise
+    # floor (~1e-3), sharp vs a mis-pinned stiff direction
+    stat_ok = stat_c <= 0.05 * jnp.maximum(1.0, jnp.max(jnp.abs(o.q), -1))
+    o_ok = _polish_obj(o, x_c) <= o.o_x + 1e-3 * jnp.abs(o.o_x) + 1e-6
+    return feas & sign_ok & stat_ok & o_ok
+
+
+def _polish_ladder(o: PolishOps, act_lo, act_hi, polish_rounds: int,
+                   eps_abs, setup_precision):
+    """The reduced-solve refinement ladder (round 1 + gated rounds 2-3).
+
+    Later rounds only execute when some scenario in THIS (possibly
+    compacted) batch is still uncertified — each round carries a batched
+    nz x nz formation + SPD inverse, which is most of the polish cost.
+    Returns (x_pol_raw, ok_pol).
+    """
+    B = o.q.shape[0]
+    big = jnp.asarray(jnp.finfo(o.q.dtype).max, o.q.dtype)
+
+    def round_body(rcarry):
+        a_lo, a_hi, x_pol_raw, best_obj, ok_pol, r = rcarry
+        x_k, y_k, st_k = _polish_core(
+            o, a_lo, a_hi, reduced=True, setup_precision=setup_precision
+        )
+        ok_k = _polish_certify(o, a_lo, a_hi, x_k, y_k, st_k, eps_abs)
+        o_k = jnp.where(ok_k, _polish_obj(o, x_k), big)
+        # freeze a scenario's certified point: later rounds (running only
+        # because some OTHER scenario is uncertified) must not swap an
+        # already-certified result
+        take = (o_k < best_obj) & ~ok_pol
+        x_pol_raw = jnp.where(take[:, None], x_k, x_pol_raw)
+        best_obj = jnp.where(take, o_k, best_obj)
+        ok_pol = ok_pol | ok_k
+        a_lo, a_hi = _polish_refine(o, a_lo, a_hi, x_k, y_k)
+        return (a_lo, a_hi, x_pol_raw, best_obj, ok_pol, r + 1)
+
+    def round_cond(rcarry):
+        ok_pol, r = rcarry[4], rcarry[5]
+        return (r < polish_rounds) & ~ok_pol.all()
+
+    rcarry0 = (
+        act_lo, act_hi, jnp.zeros_like(o.x_it), jnp.full((B,), big),
+        jnp.zeros((B,), bool), jnp.asarray(0, jnp.int32),
+    )
+    rcarry = round_body(rcarry0)
+    out = lax.while_loop(round_cond, round_body, rcarry)
+    return out[2], out[4]
+
+
+# ---------------------------------------------------------------------------
 # Batch-global adaptive solver (OSQP-faithful refactor-on-demand)
 # ---------------------------------------------------------------------------
 @partial(
@@ -532,7 +778,7 @@ def ruiz_equilibrate_structured(
         "max_iter", "check_every", "scaling_iters", "box_tail",
         "rho_refactor_ratio", "setup_precision", "debug", "polish",
         "polish_rounds", "use_pallas", "nu", "small_force_scale",
-        "return_polished", "polish_snap",
+        "return_polished",
     ),
 )
 def solve_adaptive(
@@ -560,7 +806,6 @@ def solve_adaptive(
     nu: int = 12,
     small_force_scale: float = 50.0,
     return_polished: bool = True,
-    polish_snap: bool = False,
 ) -> AdmmSolution:
     """Batched adaptive-iteration ADMM with refactor-on-demand.
 
@@ -766,52 +1011,39 @@ def solve_adaptive(
         max_adapts = 3
 
         def attempt_polish(x, z, y, rho, Minv, step):
-            """Certified accept: snap the iterate onto the identified active set.
+            """Certified accept: snap-first, compacted reduced ladder.
 
             The QP's force directions are nearly flat (R = 1e-5 vs Q ~
             1-50), so ADMM residual criteria admit iterates several % from
-            the optimum in those directions (gradient ~ curvature x error —
-            both tiny); mask-edge warm starts were measured accepting 2-7%
-            off (tools/loop_parity.py). OSQP-style: identify active rows
-            from THRESHOLDED dual signs (complementary slackness), then
-            solve the active-set subproblem exactly and certify.
+            the optimum in those directions; mask-edge warm starts were
+            measured accepting 2-7% off (tools/loop_parity.py). OSQP-style:
+            identify active rows from THRESHOLDED dual signs (complementary
+            slackness), then solve the active-set subproblem exactly and
+            certify (machinery: _polish_core / _polish_certify /
+            _polish_ladder at module level; design notes there).
 
-            TPU-native structure exploited throughout: every constraint of
-            the condensed QP is local to one (step, leg) 3-vector block —
-            4 friction-pyramid rows with closed-form entries (qp.py
-            _friction_face_matrix) plus per-variable box rows — so the
-            active-set geometry decomposes into B x (n*4) independent 3-D
-            blocks: one batched 7x7 factorization per block yields the
-            exact null-space projector, the minimum-norm particular
-            solution of the active rows, and the least-squares multipliers.
+            Round-5 structure (the round-4 adjudication's "per-scenario
+            compaction path"):
 
-            The polish point solves the equality-constrained subproblem in
-            null-space form: x_pol = x_p + Pi d with
-            (Pi P Pi + (I - Pi)) d = -Pi (q + P x_p). Active rows hold
-            EXACTLY (block-local arithmetic on O(1) entries — no penalty,
-            no P + w A'A absorption: an earlier penalized solve at w = 1e4
-            lost the flat R-curvature to f32 absorption, 1e4*eps ~ 1e-3 of
-            entry noise against 2e-5 of curvature, and landed whole
-            Newtons off with every gate passing). The reduced system
-            carries the objective's own curvature only, Jacobi-scaled for
-            the f32 Cholesky. Note the f32 limit: forming Pi P Pi mixes
-            the stiff (~50) and flat (~2e-5) scales, so flat-direction
-            curvature carries O(matmul-noise) relative error — polish
-            accuracy in flat directions therefore still leans on the
-            iterate being in the accept-gated low-rho regime, where the
-            contracting ADMM steps have already placed those components
-            well (measured: max 1.01% on the captured mask-edge
-            population). This is why accepts stay rho-gated even with the
-            certificate (see the accept logic below).
+            1. SNAP proposal for the whole batch — keep the iterate's
+               null-space component, snap only the active-row component
+               (block-local arithmetic, no nz x nz work). Accepted only for
+               SETTLED iterates (step <= stall_tol): the f32 certificate
+               cannot see flat-direction displacement, and mask-edge warm
+               starts certify while 2-7% off (tests/test_polish_regression
+               — cycle 151); settled iterates measure 0.02-0.06% off
+               (round 3), CLOSER than the reduced solve's f32 noise floor.
+            2. Scenarios failing the snap are COMPACTED into a B/4-capacity
+               sub-batch and only that sub-batch pays the reduced ladder
+               (batched nz x nz formation + SPD inverse — most of the old
+               batch-global polish's ~18 ms at B = 512). In steady trot a
+               handful of movers fail snap; at transitions (count > B/4)
+               the full-batch ladder runs as before.
 
-            Certification per scenario (all static, no reference point):
-            inactive-row feasibility; block least-squares duals must
-            support the gradient (stationarity residual) with
-            complementarity-consistent signs; objective not above the
-            iterate's. Failed scenarios keep iterating — identification is
-            what they lack, and it needs iterations. The reference runs
-            OSQP with polish disabled (centroidal_mpc.py:20-38); this
-            recovers the capability at batch scale.
+            Failed scenarios keep iterating — identification is what they
+            lack, and it needs iterations. The reference runs OSQP with
+            polish disabled (centroidal_mpc.py:20-38); this recovers the
+            capability at batch scale.
             """
             fin_l = jnp.isfinite(qp.l)
             fin_u = jnp.isfinite(qp.u)
@@ -819,287 +1051,77 @@ def solve_adaptive(
             y_tol = 1e-3 * jnp.max(jnp.abs(y_raw), axis=-1, keepdims=True)
             act_lo = fin_l & (is_eq | (y_raw < -y_tol))
             act_hi = fin_u & (~act_lo) & (y_raw > y_tol)
-            l_raw = qp.l
-            u_raw = qp.u
-            # block-local pyramid coefficients (exact +-1 / -mu entries)
-            C_coef = C_raw
-            eye3 = jnp.eye(3, dtype=dtype)
-
-            def ax_raw(xc):
-                fr = jnp.einsum(
-                    "bnfr,bnr->bnf", C_raw, xc.reshape(B, nb, 3),
-                    precision=_PRECISION,
-                ).reshape(B, m_fr)
-                return jnp.concatenate([fr, box_diag_raw * xc], axis=-1)
-
-            def viol(xc_raw):
-                v = jnp.maximum(l_raw - ax_raw(xc_raw), ax_raw(xc_raw) - u_raw)
-                return jnp.max(v.clip(min=0.0), axis=-1)
-
-            def obj(xc_raw):
-                pxc = jnp.einsum(
-                    "bnm,bm->bn", qp.p_dense, xc_raw, precision=_PRECISION
-                )
-                return 0.5 * jnp.sum(xc_raw * pxc, -1) + jnp.sum(qp.q * xc_raw, -1)
-
             x_it_raw = s.d * x
-            o_x = obj(x_it_raw)
-            v_x = viol(x_it_raw)
-            big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
-            def polish_core(a_lo, a_hi, reduced):
-                """Project the iterate onto the active manifold; LS duals.
+            ops = PolishOps(
+                p_dense=qp.p_dense, q=qp.q, l=qp.l, u=qp.u, is_eq=is_eq,
+                C=C_raw, box=box_diag_raw, x_it=x_it_raw,
+                o_x=jnp.zeros((B,), dtype), v_x=jnp.zeros((B,), dtype),
+            )
+            ops = ops._replace(
+                o_x=_polish_obj(ops, x_it_raw), v_x=_polish_viol(ops, x_it_raw)
+            )
 
-                Returns (x_pol, y_rows, stat_res): the snapped point, the
-                per-row least-squares multipliers of the active rows, and
-                the per-scenario stationarity-support residual
-                max_blocks |C' y - (-(P x + q))|  — the part of the
-                gradient the active rows cannot support. A correct set
-                supports the gradient up to matvec noise; a set that pins
-                a stiff direction wrongly (or misses an active row) leaves
-                an O(curvature x displacement) unsupported component.
+            # stage 1: snap proposal (cheap, block-local), settled gate
+            x_sn, y_sn, st_sn = _polish_core(
+                ops, act_lo, act_hi, reduced=False,
+                setup_precision=setup_precision,
+            )
+            ok_sn = _polish_certify(
+                ops, act_lo, act_hi, x_sn, y_sn, st_sn, eps_abs
+            ) & (step <= stall_tol)
+            x_base = jnp.where(ok_sn[:, None], x_sn, jnp.zeros_like(x_sn))
+            need = ~ok_sn
+            count = jnp.sum(need)
 
-                ``reduced`` (static) selects the null-space component:
+            # stage 2: reduced ladder for snap failures only
+            cap = B if B < 16 else max(B // 4, 8)
 
-                - True: solve the reduced equality-constrained subproblem
-                  exactly (batched nz x nz formation + SPD inverse — the
-                  expensive certified path);
-                - False: KEEP the iterate's null-space component and only
-                  snap the active-row component (pure block-local 7x7/3x3
-                  arithmetic — no nz x nz work at all). At a settled
-                  warm-started iterate the flat directions are already
-                  placed by the contracting ADMM steps (measured round 3:
-                  0.02-0.06% from the f64 optimum, CLOSER than the reduced
-                  solve's f32 Pi-P-Pi noise floor of ~1%), so in steady
-                  state this cheap proposal certifies and the reduced
-                  ladder is skipped batch-globally (see attempt_polish).
-                """
-                t_all = jnp.where(a_lo, l_raw, jnp.where(a_hi, u_raw, 0.0))
-                m_face = (a_lo | a_hi)[:, :m_fr][:, face_rows]
-                t_face = t_all[:, :m_fr][:, face_rows] * m_face
-                m_pin = (a_lo | a_hi)[:, m_fr:][:, blk_cols]
-                t_pin = t_all[:, m_fr:][:, blk_cols] * m_pin
-                coef_pin = box_diag_raw[:, blk_cols]
-                C = jnp.concatenate(
-                    [
-                        C_coef * m_face[..., None],
-                        eye3 * (coef_pin * m_pin)[..., :, None],
-                    ],
-                    axis=2,
-                )  # (B, nb, 7, 3)
-                b7 = jnp.concatenate([t_face, t_pin], axis=2)  # (B, nb, 7)
-                # One batched 7x7 factorization per block serves all three
-                # uses: minimum-norm particular solution, null-space
-                # projector, and the least-squares multipliers. (A 3x3
-                # eigendecomposition formulation is mathematically cleaner
-                # but jnp.linalg.eigh lowers to an iterative algorithm that
-                # is catastrophically slow for 32k tiny matrices on TPU.)
-                CC = jnp.einsum("bnkr,bnlr->bnkl", C, C, precision=_PRECISION)
-                ridge = 1e-7 * jnp.maximum(
-                    jnp.einsum("bnkk->bn", CC)[..., None, None], 1e-2
+            def no_ladder():
+                return x_base, ok_sn
+
+            def full_ladder():
+                x_f, ok_f = _polish_ladder(
+                    ops, act_lo, act_hi, polish_rounds, eps_abs,
+                    setup_precision,
                 )
-                # unrolled elimination: XLA's batched LU custom call for
-                # these (B, nb, 7, 7) blocks profiled at ~57 ms/solve on
-                # TPU (serialized pivoting) vs ~0.1 ms unrolled
-                CCi = inv_small_unrolled(CC + ridge * jnp.eye(7, dtype=dtype))
+                x_o = jnp.where(ok_sn[:, None], x_base, x_f)
+                return x_o, ok_sn | ok_f
 
-                def cc_solve(v):  # (B, nb, 7) -> (B, nb, 7)
-                    return jnp.einsum("bnkl,bnl->bnk", CCi, v)
-
-                # min-norm particular solution x_p = C'(CC')^+ b
-                x_p_b = jnp.einsum("bnkr,bnk->bnr", C, cc_solve(b7))
-                x_p = x_p_b.reshape(B, nz)
-                # orthogonal projector onto the active rows' null space,
-                # per block: Pi = I - C'(CC')^+ C  (B, nb, 3, 3)
-                Pi_b = eye3 - jnp.einsum(
-                    "bnkr,bnkl,bnls->bnrs", C, CCi, C, precision=_PRECISION
-                )
-                if reduced:
-                    Pi = jnp.zeros((B, nz, nz), dtype).at[
-                        :, blk_cols[:, :, None], blk_cols[:, None, :]
-                    ].set(Pi_b)
-                    # reduced problem over the null space: x = x_p + Pi w
-                    # with (Pi P Pi + (I - Pi)) d = -Pi (q + P x_p). H
-                    # carries the objective's own curvature only — no
-                    # penalty term, so the flat R-scale curvature survives
-                    # f32 formation (an earlier P + w A'A penalty solve
-                    # lost it to absorption); Jacobi scaling then
-                    # normalizes the stiff/flat disparity for the f32
-                    # Cholesky. (I - Pi) fills the complement with identity.
-                    PPi = jnp.matmul(qp.p_dense, Pi, precision=setup_precision)
-                    H = jnp.matmul(Pi, PPi, precision=setup_precision) + (eye - Pi)
-                    rhs_r = -jnp.einsum(
-                        "bnm,bn->bm", Pi,
-                        qp.q + jnp.einsum(
-                            "bnm,bm->bn", qp.p_dense, x_p, precision=_PRECISION
-                        ),
-                        precision=_PRECISION,
-                    )
-                    djr = jnp.sqrt(jnp.maximum(
-                        jnp.diagonal(H, axis1=-2, axis2=-1), 1e-30
-                    ))
-                    Hn = H / (djr[:, :, None] * djr[:, None, :]) + 1e-6 * eye
-                    # XLA's batched Cholesky + 1-RHS triangular solves
-                    # serialize ~32 ms of column steps at B=512; the fused
-                    # Pallas SPD inverse (ops/chol_kernel.py) runs the
-                    # factorization in VMEM and one matvec finishes the
-                    # Jacobi-scaled solve
-                    if nz % 32 == 0:
-                        from convex_mpc_tpu.ops.chol_kernel import spd_inverse
-
-                        Hinv = spd_inverse(Hn)
-                    else:
-                        Lr = jnp.linalg.cholesky(Hn)
-                        Lri = jax.scipy.linalg.solve_triangular(
-                            Lr, jnp.broadcast_to(eye, Lr.shape), lower=True
-                        )
-                        Hinv = jnp.matmul(
-                            jnp.swapaxes(Lri, -1, -2), Lri,
-                            precision=setup_precision,
-                        )
-                    zr = jnp.einsum(
-                        "bnm,bn->bm", Hinv, rhs_r / djr, precision=_PRECISION
-                    ) / djr
-                    x_pol = x_p + jnp.einsum(
-                        "bmn,bn->bm", Pi, zr, precision=_PRECISION
-                    )
-                else:
-                    # snap: keep the iterate's null-space component —
-                    # block-local 3x3 projector application only
-                    x_pol = x_p + jnp.einsum(
-                        "bnrs,bns->bnr", Pi_b, x_it_raw.reshape(B, nb, 3),
-                        precision=_PRECISION,
-                    ).reshape(B, nz)
-                # block least-squares multipliers of the active rows
-                g_b = -(
-                    jnp.einsum(
-                        "bnm,bm->bn", qp.p_dense, x_pol, precision=_PRECISION
-                    )
-                    + qp.q
-                ).reshape(B, nb, 3)
-                y7 = cc_solve(jnp.einsum("bnkr,bnr->bnk", C, g_b))
-                stat = jnp.einsum("bnkr,bnk->bnr", C, y7) - g_b
-                stat_res = jnp.max(jnp.abs(stat), axis=(-2, -1))
-                y_rows = jnp.concatenate(
-                    [y7[..., :4].reshape(B, m_fr), y7[..., 4:].reshape(B, nz)],
-                    axis=-1,
-                ) * (a_lo | a_hi)
-                return x_pol, y_rows, stat_res
-
-            def refine(a_lo, a_hi, x_r, y_r):
-                """Add violated rows, drop wrong-sign-multiplier rows."""
-                ax_r = ax_raw(x_r)
-                add_lo = fin_l & (l_raw - ax_r > 1e-6)
-                add_hi = fin_u & (ax_r - u_raw > 1e-6)
-                ysc = 1e-3 * jnp.maximum(
-                    jnp.max(jnp.abs(y_r), -1, keepdims=True), 1.0
-                )
-                drop = (a_lo & ~is_eq & (y_r > ysc)) | (a_hi & (y_r < -ysc))
-                n_lo = (a_lo | add_lo) & ~drop
-                n_hi = ((a_hi | add_hi) & ~drop) & ~n_lo
-                return n_lo, n_hi
-
-            def certify(a_lo, a_hi, x_c, y_c, stat_c):
-                feas = (viol(x_c) <= v_x + eps_abs) & jnp.isfinite(x_c).all(-1)
-                ysc = 1e-3 * jnp.maximum(
-                    jnp.max(jnp.abs(y_c), -1, keepdims=True), 1.0
-                )
-                sign_ok = jnp.where(
-                    a_lo & ~is_eq, y_c <= ysc,
-                    jnp.where(a_hi, y_c >= -ysc, True),
-                ).all(-1)
-                # unsupported-gradient tolerance: generous vs the f32 P
-                # matvec noise floor (~1e-3), sharp vs a mis-pinned stiff
-                # direction (curvature x Newtons ~ 0.1-10)
-                stat_ok = stat_c <= 0.05 * jnp.maximum(
-                    1.0, jnp.max(jnp.abs(qp.q), -1)
-                )
-                o_ok = obj(x_c) <= o_x + 1e-3 * jnp.abs(o_x) + 1e-6
-                return feas & sign_ok & stat_ok & o_ok
-
-            # refinement rounds: same 3-round ladder as before, but later
-            # rounds only execute when some scenario is still uncertified —
-            # in steady trot round 1 certifies the whole batch and rounds
-            # 2-3 are genuinely skipped (lax.while_loop, not select), which
-            # is most of the polish cost (each round carries a batched
-            # Cholesky + reduced solve)
-            def round_body(rcarry):
-                a_lo, a_hi, x_pol_raw, best_obj, ok_pol, r = rcarry
-                x_k, y_k, st_k = polish_core(a_lo, a_hi, reduced=True)
-                ok_k = certify(a_lo, a_hi, x_k, y_k, st_k)
-                o_k = jnp.where(ok_k, obj(x_k), big)
-                # freeze a scenario's certified point: later rounds (which
-                # only run because some OTHER scenario is uncertified) must
-                # not swap an already-certified result, or per-scenario
-                # answers would depend on batch composition
-                take = (o_k < best_obj) & ~ok_pol
-                x_pol_raw = jnp.where(take[:, None], x_k, x_pol_raw)
-                best_obj = jnp.where(take, o_k, best_obj)
-                ok_pol = ok_pol | ok_k
-                a_lo, a_hi = refine(a_lo, a_hi, x_k, y_k)
-                return (a_lo, a_hi, x_pol_raw, best_obj, ok_pol, r + 1)
-
-            def round_cond(rcarry):
-                ok_pol, r = rcarry[4], rcarry[5]
-                return (r < polish_rounds) & ~ok_pol.all()
-
-            # Optional fast path (polish_snap, default OFF): a SNAP
-            # proposal — keep the iterate's null-space component and snap
-            # only the active-row component (block-local arithmetic, no
-            # nz x nz formation, no SPD inverse). Trusting the iterate's
-            # flat-direction component is only safe when the iterate has
-            # SETTLED (moved <= stall_tol over the last chunk): the f32
-            # certificate cannot see flat-direction displacement, and
-            # mask-edge warm starts accept on the certificate while still
-            # 2-7% off there (regression population
-            # tests/test_polish_regression.py — cycle 151 certifies a
-            # 3.2%-off snap without this gate; settled iterates measure
-            # 0.02-0.06% off, round 3). MEASURED OFF by default: skipping
-            # the ladder requires the whole batch to snap-certify
-            # (lax.cond is batch-global), and at B = 512 some scenario is
-            # always still moving at the first accept attempt — the snap
-            # then only adds its own cost to every attempt. Kept behind a
-            # flag as the adjudicated experiment; revisit if a
-            # per-scenario compaction path ever lands.
-            if polish_snap:
-                x_sn, y_sn, st_sn = polish_core(act_lo, act_hi, reduced=False)
-                ok_sn = certify(act_lo, act_hi, x_sn, y_sn, st_sn) & (
-                    step <= stall_tol
+            if cap >= B:
+                x_pol_raw, ok_pol = lax.cond(
+                    count > 0, full_ladder, no_ladder
                 )
             else:
-                x_sn = jnp.zeros_like(x_it_raw)
-                ok_sn = jnp.zeros((B,), bool)
+                def compact_ladder():
+                    idx = jnp.nonzero(need, size=cap, fill_value=0)[0]
+                    valid = jnp.arange(cap) < count
+                    o_sub = jax.tree.map(lambda a: a[idx], ops)
+                    x_s, ok_s = _polish_ladder(
+                        o_sub, act_lo[idx], act_hi[idx], polish_rounds,
+                        eps_abs, setup_precision,
+                    )
+                    take = valid & ok_s
+                    # duplicate gather indices (the fill rows) all write the
+                    # unchanged base value -> deterministic scatter
+                    x_o = x_base.at[idx].set(
+                        jnp.where(take[:, None], x_s, x_base[idx])
+                    )
+                    ok = ok_sn.at[idx].set(ok_sn[idx] | take)
+                    return x_o, ok
 
-            def ladder():
-                rcarry0 = (
-                    act_lo, act_hi,
-                    jnp.where(ok_sn[:, None], x_sn, jnp.zeros_like(x_it_raw)),
-                    jnp.where(ok_sn, obj(x_sn), big),
-                    ok_sn,
-                    jnp.asarray(0, jnp.int32),
+                x_pol_raw, ok_pol = lax.cond(
+                    count > 0,
+                    lambda: lax.cond(
+                        count <= cap, compact_ladder, full_ladder
+                    ),
+                    no_ladder,
                 )
-                # reduced round 1 runs for the uncertified scenarios; the
-                # loop predicate then gates rounds 2-3. Snap-certified
-                # scenarios keep their frozen point (the ~ok_pol take).
-                rcarry = round_body(rcarry0)
-                out = lax.while_loop(round_cond, round_body, rcarry)
-                return out[0], out[1], out[2], out[3], out[4]
-
-            if polish_snap:
-                a_lo, a_hi, x_pol_raw, best_obj, ok_pol = lax.cond(
-                    ok_sn.all(),
-                    lambda: (act_lo, act_hi, x_sn, obj(x_sn), ok_sn),
-                    ladder,
-                )
-            else:
-                a_lo, a_hi, x_pol_raw, best_obj, ok_pol = ladder()
             if debug:
                 jax.debug.print(
-                    "polish: n_act {na}->{nb} viol x={vx} pol={vp} "
-                    "obj x={ox} pol={op} ok={ok}",
-                    na=(act_lo | act_hi).sum(-1), nb=(a_lo | a_hi).sum(-1),
-                    vx=v_x, vp=viol(x_pol_raw), ox=o_x, op=best_obj,
-                    ok=ok_pol,
+                    "polish: snap_ok {ns}/{b} viol x={vx} pol={vp} ok={ok}",
+                    ns=ok_sn.sum(), b=B, vx=ops.v_x,
+                    vp=_polish_viol(ops, x_pol_raw), ok=ok_pol,
                 )
             # buffer carries the SCALED-space point (selected pre-unscale)
             x_pol = x_pol_raw / s.d
@@ -1292,7 +1314,20 @@ def solve_adaptive(
             ],
             axis=-1,
         )
-        rp = jnp.max(jnp.abs(ax - z_out), axis=-1)
+        # primal report: |Ax - z| for ADMM iterates (OSQP semantics); for
+        # scenarios whose RETURNED point is the certified polished one, z is
+        # the pre-polish iterate's split variable and |Ax_pol - z| is a
+        # meaningless cross-point gap (measured up to ~15 N on fast accepts)
+        # — report the actual bound violation of the returned point instead.
+        viol_ret = jnp.max(
+            jnp.maximum(qp.l - ax, ax - qp.u).clip(min=0.0), axis=-1
+        )
+        use_pol_point = (
+            (pol_ok if (polish and return_polished) else jnp.zeros((B,), bool))
+        )
+        rp = jnp.where(
+            use_pol_point, viol_ret, jnp.max(jnp.abs(ax - z_out), axis=-1)
+        )
         px = jnp.einsum("bnm,bm->bn", qp.p_dense, x_out, precision=_PRECISION)
         aty = (
             jnp.einsum(

@@ -120,22 +120,8 @@ def _prediction_operators(dyn: SrbDynamics, n: int) -> CondensedAux:
     return CondensedAux(Sx=Sx, Su=Su, Sg=Sg)
 
 
-def _cost_and_bounds(dyn, x0, x_ref, contact, q_diag, r_value, mu, fz_min):
-    """Shared assembly: dense cost (P, q), block friction C, bounds (l, u)."""
-    n = x_ref.shape[0]
-    dtype = x_ref.dtype
-    aux = _prediction_operators(dyn, n)
-
-    qd = jnp.asarray(q_diag, dtype)  # per-step state weights
-    # free response error: e = Sx x0 + Sg - Xref, (n, 12)
-    e = ein("kab,b->ka", aux.Sx, x0) + aux.Sg - x_ref
-
-    # Su viewed as (n*12, n*12) map from U to X
-    Su_flat = aux.Su.transpose(0, 2, 1, 3).reshape(n * NX, n * NU)
-    QSu = (jnp.tile(qd, n)[:, None]) * Su_flat  # Qbar @ Su
-    P = 2.0 * (mm(Su_flat.T, QSu) + r_value * jnp.eye(n * NU, dtype=dtype))
-    q = 2.0 * mm(Su_flat.T, (jnp.tile(qd, n) * e.reshape(-1)))
-
+def _friction_and_bounds(contact, mu, fz_min, n, dtype):
+    """Friction block coefficients C and bounds (l, u) — shared assembly."""
     # friction block coefficients, block-major over (step, leg):
     # supports scalar mu or per-leg (4,) / per-(step,leg) (n, 4) mu
     mu_a = jnp.asarray(mu, dtype)
@@ -155,7 +141,102 @@ def _cost_and_bounds(dyn, x0, x_ref, contact, q_diag, r_value, mu, fz_min):
 
     l = jnp.concatenate([l_fr, l_box])
     u = jnp.concatenate([u_fr, u_box])
+    return C, l, u
+
+
+def _cost_and_bounds(dyn, x0, x_ref, contact, q_diag, r_value, mu, fz_min):
+    """Shared assembly: dense cost (P, q), block friction C, bounds (l, u)."""
+    n = x_ref.shape[0]
+    dtype = x_ref.dtype
+    aux = _prediction_operators(dyn, n)
+
+    qd = jnp.asarray(q_diag, dtype)  # per-step state weights
+    # free response error: e = Sx x0 + Sg - Xref, (n, 12)
+    e = ein("kab,b->ka", aux.Sx, x0) + aux.Sg - x_ref
+
+    # Su viewed as (n*12, n*12) map from U to X
+    Su_flat = aux.Su.transpose(0, 2, 1, 3).reshape(n * NX, n * NU)
+    QSu = (jnp.tile(qd, n)[:, None]) * Su_flat  # Qbar @ Su
+    P = 2.0 * (mm(Su_flat.T, QSu) + r_value * jnp.eye(n * NU, dtype=dtype))
+    q = 2.0 * mm(Su_flat.T, (jnp.tile(qd, n) * e.reshape(-1)))
+
+    C, l, u = _friction_and_bounds(contact, mu, fz_min, n, dtype)
     return P, q, C, l, u, aux
+
+
+def _cost_suffix_recursion(dyn, x0, x_ref, q_diag, r_value):
+    """(P, q) by suffix recursions over 12x12 blocks — no Su materialized.
+
+    The naive path builds Su (n, n, 12, 12) by gathering powers of Ad and
+    streams it through 5-6 relayout passes ((B, 16, 16, 12, 12) = 75 MB at
+    B = 512 — measured ~8 ms of the cycle, 27x off speed-of-light). The
+    whole cost is expressible in suffix form with only (n, 12, 12) tensors:
+
+        P[j, i] (j <= i) = 2 Bd_j' (Ad^(i-j))' W_{n-i} Bd_i,
+            W_m = sum_{d<m} (Ad^d)' Q Ad^d   (W_{m+1} = Q + Ad' W_m Ad)
+        q[j] = 2 Bd_j' s_j,   s_j = Q e_j + Ad' s_{j+1}
+        e_k  = f_k - x_ref_k, f_0 = Ad x0 + gd, f_{k+1} = Ad f_k + gd
+
+    Three lax.scans of a few 12x12 matmuls each; the block-row scan emits P
+    rows (j, 12, n, 12) directly in the dense layout, so the only (nz, nz)
+    tensor ever touched is P itself. Equality with the Su form is asserted
+    in tests/test_condensed.py (f32 reassociation tolerance).
+    """
+    n = x_ref.shape[0]
+    dtype = x_ref.dtype
+    Ad, Bd, gd = dyn.Ad, dyn.Bd, dyn.gd
+    Q = jnp.diag(jnp.asarray(q_diag, dtype))
+
+    # e_k via forward free-response recursion
+    def f_step(f, xr):
+        f2 = mm(Ad, f) + gd
+        return f2, f2 - xr
+
+    _, e = jax.lax.scan(f_step, x0, x_ref)  # (n, 12)
+
+    # s_j via reverse suffix recursion; q_j = 2 Bd_j' s_j
+    Qe = ein("ab,kb->ka", Q, e)
+
+    def s_step(s, inp):
+        qe_j, Bd_j = inp
+        s_j = qe_j + mm(Ad.T, s)
+        return s_j, 2.0 * mm(Bd_j.T, s_j)
+
+    _, q_rows = jax.lax.scan(
+        s_step, jnp.zeros(NX, dtype), (Qe, Bd), reverse=True
+    )
+    q = q_rows.reshape(n * NU)
+
+    # W_{n-i} and T_i = W_{n-i} Bd_i, descending i (W grows as i shrinks)
+    def w_step(W, Bd_i):
+        T_i = mm(W, Bd_i)
+        W2 = Q + mm(Ad.T, mm(W, Ad))
+        return W2, T_i
+
+    _, T = jax.lax.scan(w_step, Q, Bd, reverse=True)  # (n, 12, 12)
+
+    # block rows of the upper triangle, descending j:
+    # V_j[i] = (Ad')^(i-j) T_i for i >= j (zeros below), row_j = Bd_j' V_j
+    def row_step(V, inp):
+        j_onehot, T_j, Bd_j = inp
+        V = ein("ab,iac->ibc", Ad, V)  # Ad' @ each block
+        V = V + j_onehot[:, None, None] * T_j[None]
+        return V, 2.0 * ein("ab,iac->bic", Bd_j, V)
+
+    eye_n = jnp.eye(n, dtype=dtype)
+    V0 = jnp.zeros((n, NX, NU), dtype)
+    _, rows = jax.lax.scan(
+        row_step, V0, (eye_n, T, Bd), reverse=True
+    )  # (n, 12, n, 12) upper-triangle block rows (incl. diagonal)
+    U = rows.reshape(n * NU, n * NU)
+    # symmetrize: U holds the upper-triangle block rows (zeros below); the
+    # diagonal blocks (themselves symmetric: 2 Bd' W Bd) appear in both U
+    # and U', so subtract one copy
+    blk = jnp.repeat(jnp.arange(n), NU)
+    on_diag_blk = blk[:, None] == blk[None, :]
+    P = U + U.T - jnp.where(on_diag_blk, U, 0.0)
+    P = P + 2.0 * r_value * jnp.eye(n * NU, dtype=dtype)
+    return P, q
 
 
 def build_condensed(
@@ -206,16 +287,20 @@ def build_condensed_structured(
 
     Same QP as :func:`build_condensed` — identical cost, bounds, and row
     order — with the constraint matrix kept as the (nb, 4, 3) friction
-    blocks + implicit identity box rows (see :class:`StructuredQp`).
-    ``mu`` may be a scalar, per-leg (4,), or per-(step, leg) (N, 4) array.
+    blocks + implicit identity box rows (see :class:`StructuredQp`), and
+    the cost built by the suffix recursion (:func:`_cost_suffix_recursion`
+    — Su is never materialized). ``mu`` may be a scalar, per-leg (4,), or
+    per-(step, leg) (N, 4) array. The returned aux is None (the recovery
+    operators require Su; use :func:`build_condensed` for diagnostics).
     """
-    P, q, C, l, u, aux = _cost_and_bounds(
-        dyn, x0, x_ref, contact, q_diag, r_value, mu, fz_min
-    )
+    n = x_ref.shape[0]
+    dtype = x_ref.dtype
+    P, q = _cost_suffix_recursion(dyn, x0, x_ref, q_diag, r_value)
+    C, l, u = _friction_and_bounds(contact, mu, fz_min, n, dtype)
     data = StructuredQp(
         p_diag=jnp.diagonal(P), q=q, C=C, l=l, u=u, p_dense=P
     )
-    return data, aux
+    return data, None
 
 
 def recover_states(aux: CondensedAux, x0: jnp.ndarray, u_flat: jnp.ndarray) -> jnp.ndarray:

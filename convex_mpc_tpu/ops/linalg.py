@@ -68,8 +68,13 @@ def inv_small_unrolled(A):
     n = A.shape[-1]
     idx = jnp.arange(n)
     L = jnp.zeros_like(A)
+    nan = jnp.asarray(jnp.nan, A.dtype)
     for k in range(n):
-        lkk = jnp.sqrt(A[..., k, k])
+        pivot = A[..., k, k]
+        # NaN is the intended non-SPD signal (mirrors chol_kernel._chol_unrolled):
+        # a block driven indefinite by f32 cancellation yields NaN rows that the
+        # downstream certify() rejects explicitly, instead of a silent sqrt(-x)
+        lkk = jnp.where(pivot > 0, jnp.sqrt(jnp.maximum(pivot, 0.0)), nan)
         col = A[..., :, k] / lkk[..., None]  # (..., n)
         col = jnp.where(idx >= k, col, 0.0)
         L = L.at[..., :, k].set(col)
@@ -84,6 +89,30 @@ def inv_small_unrolled(A):
         X = X.at[..., k, :].set(row)
     # A^-1 = L^-T L^-1 = X' X
     return jnp.einsum("...ki,...kj->...ij", X, X)
+
+
+def inv6_spd_block(S):
+    """Closed-form inverse of a (..., 6, 6) SPD matrix via 3x3-block Schur.
+
+    S = [[P, Q], [Q', R]] with SPD P:  S^-1 = [[Pi + W Ti W', -W Ti],
+    [-Ti W', Ti]] where Pi = P^-1, W = Pi Q, T = R - Q' W, Ti = T^-1.
+    Two adjugate 3x3 inverses + a few tiny matmuls — all wide fused
+    elementwise arithmetic, no serial sqrt/divide chain (the unrolled 6x6
+    Cholesky's 6 dependent column steps dominated the 1 kHz plant-step
+    latency at B = 512). SPD blocks of robot mass matrices are far from
+    the f32 adjugate's conditioning limits (tests/test_linalg.py).
+    """
+    P, Q = S[..., :3, :3], S[..., :3, 3:]
+    R = S[..., 3:, 3:]
+    Pi = inv3(P)
+    W = ein("...ij,...jk->...ik", Pi, Q)
+    T = R - ein("...ji,...jk->...ik", Q, W)
+    Ti = inv3(T)
+    WTi = ein("...ij,...jk->...ik", W, Ti)
+    top_left = Pi + ein("...ij,...kj->...ik", WTi, W)
+    top = jnp.concatenate([top_left, -WTi], axis=-1)
+    bot = jnp.concatenate([-jnp.swapaxes(WTi, -1, -2), Ti], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
 
 
 class ArrowFactor(NamedTuple):
@@ -103,7 +132,7 @@ class ArrowFactor(NamedTuple):
     tests/test_dynamics_vs_mujoco.py.
     """
 
-    S_chol: jnp.ndarray  # (..., 6, 6) Cholesky of the base Schur complement
+    S_inv: jnp.ndarray  # (..., 6, 6) inverse of the base Schur complement
     Dinv: jnp.ndarray  # (..., 4, 3, 3) per-leg joint-block inverses
     B: jnp.ndarray  # (..., 4, 6, 3) base-leg coupling blocks
     BDinv: jnp.ndarray  # (..., 4, 6, 3) B_l D_l^-1
@@ -113,10 +142,15 @@ def arrow_factor(A) -> ArrowFactor:
     """Factor a (..., 18, 18) SPD matrix with the Go2 arrow structure.
 
     Only the structured blocks are read; cross-leg entries are assumed zero
-    (exact for tree dynamics — see :class:`ArrowFactor`).
+    (exact for tree dynamics — see :class:`ArrowFactor`). The 6x6 Schur
+    complement is inverted by the UNROLLED Cholesky (`inv_small_unrolled`):
+    XLA's batched `cholesky` + `triangular_solve` custom calls serialize
+    their column steps and profiled as the dominant cost of the whole 1 kHz
+    plant step at B = 512 (~23 ms/cycle, tools/cycle_ablation.py round 5);
+    the unrolled form is straight-line elementwise/tiny-matmul code. The
+    Schur complement of a quadruped mass matrix is well-conditioned
+    (cond ~ 1e2), far from the method's f32 limits (tests/test_linalg.py).
     """
-    import jax
-
     A_bb = A[..., :6, :6]
     B_flat = A[..., :6, 6:]  # (..., 6, 12)
     batch = A.shape[:-2]
@@ -128,23 +162,17 @@ def arrow_factor(A) -> ArrowFactor:
     Dinv = inv3(Dblk)
     BDinv = ein("...lij,...ljk->...lik", B, Dinv)  # (..., 4, 6, 3)
     S = A_bb - ein("...lik,...ljk->...ij", BDinv, B)
-    with jax.default_matmul_precision("highest"):
-        S_chol = jnp.linalg.cholesky(S)
-    return ArrowFactor(S_chol=S_chol, Dinv=Dinv, B=B, BDinv=BDinv)
+    return ArrowFactor(S_inv=inv6_spd_block(S), Dinv=Dinv, B=B, BDinv=BDinv)
 
 
 def arrow_solve(fac: ArrowFactor, r):
     """Solve A x = r for (..., 18, k) right-hand sides (k static)."""
-    import jax
-
     batch = r.shape[:-2]
     k = r.shape[-1]
     r_b = r[..., :6, :]
     r_j = r[..., 6:, :].reshape(*batch, 4, 3, k)
-    Dinv_rj = ein("...lij,...ljk->...lik", fac.Dinv, r_j)
     rhs_b = r_b - ein("...lij,...ljk->...ik", fac.BDinv, r_j)
-    with jax.default_matmul_precision("highest"):
-        x_b = jax.scipy.linalg.cho_solve((fac.S_chol, True), rhs_b)
+    x_b = ein("...ij,...jk->...ik", fac.S_inv, rhs_b)
     Bt_xb = ein("...lji,...jk->...lik", fac.B, x_b)  # (..., 4, 3, k)
     x_j = ein("...lij,...ljk->...lik", fac.Dinv, r_j - Bt_xb)
     return jnp.concatenate([x_b, x_j.reshape(*batch, 12, k)], axis=-2)

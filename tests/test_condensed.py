@@ -136,8 +136,14 @@ def test_structured_build_matches_dense(scenario):
     )
     dense, _ = condensed.build_condensed(dyn, *args)
     struct, _ = condensed.build_condensed_structured(dyn, *args)
-    np.testing.assert_array_equal(np.asarray(dense.p_dense), np.asarray(struct.p_dense))
-    np.testing.assert_array_equal(np.asarray(dense.q), np.asarray(struct.q))
+    # cost: the structured path builds P/q by the suffix recursion
+    # (condensed._cost_suffix_recursion) — same sums in a different f32
+    # association order than the Su form, so equality is ulp-class, not
+    # bitwise. Tolerances sized to f32 reassociation over n=16-term sums.
+    P_d, P_s = np.asarray(dense.p_dense), np.asarray(struct.p_dense)
+    np.testing.assert_allclose(P_s, P_d, rtol=0, atol=2e-6 * np.abs(P_d).max())
+    q_d, q_s = np.asarray(dense.q), np.asarray(struct.q)
+    np.testing.assert_allclose(q_s, q_d, rtol=0, atol=2e-6 * np.abs(q_d).max())
     np.testing.assert_array_equal(np.asarray(dense.l), np.asarray(struct.l))
     np.testing.assert_array_equal(np.asarray(dense.u), np.asarray(struct.u))
     n = 16

@@ -215,3 +215,29 @@ def test_operational_space_inertia(mj_model, dyn):
         np.asarray(J[0], float) @ np.linalg.inv(np.asarray(M_jax, float)) @ np.asarray(J[0], float).T
     )
     np.testing.assert_allclose(lam, lam_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_tick_model_matches_entry_points(dyn):
+    """dynamics.tick_model (single linearize pass, the 1 kHz hot path) must
+    equal the individual MuJoCo-validated entry points on every field."""
+    for seed in range(4):
+        q, dq = random_state(seed)
+        qj, dqj = jnp.asarray(q, jnp.float32), jnp.asarray(dq, jnp.float32)
+        tm = D.tick_model(dyn, qj, dqj)
+        refs = {
+            "M": D.mass_matrix(dyn, qj),
+            "bias": D.bias_forces(dyn, qj, dqj),
+            "jdot_qd": K.foot_jdot_qd(dyn.kin, qj, dqj),
+            "J_feet": K.foot_jacobians(dyn.kin, qj),
+        }
+        com, vcom = D.com_state(dyn, qj, dqj)
+        refs["com"], refs["vcom"] = com, vcom
+        fp, fv = K.foot_state(dyn.kin, qj, dqj)
+        refs["foot_pos"], refs["foot_vel"] = fp, fv
+        for name, ref in refs.items():
+            got = np.asarray(getattr(tm, name))
+            ref = np.asarray(ref)
+            scale = max(np.abs(ref).max(), 1.0)
+            np.testing.assert_allclose(
+                got, ref, atol=3e-5 * scale, rtol=0, err_msg=f"{name} seed={seed}"
+            )

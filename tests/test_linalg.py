@@ -192,3 +192,16 @@ def test_inv_small_unrolled_matches_linalg_inv():
     # that the unrolled Cholesky stays in the same accuracy class as the
     # pivoted LU it replaces — unpivoted Gauss-Jordan fails this at ~3.3
     assert err(ch) < 1.5 * err(lu) + 1e-6, (err(ch), err(lu))
+
+
+def test_inv_small_unrolled_non_spd_yields_nan():
+    """An indefinite block must produce NaN rows (the explicit non-SPD
+    signal the polish's certify() rejects), never a silently-wrong finite
+    inverse from sqrt of a negative pivot."""
+    from convex_mpc_tpu.ops.linalg import inv_small_unrolled
+
+    A = np.eye(4, dtype=np.float32)[None].repeat(3, axis=0)
+    A[1, 2, 2] = -1.0  # indefinite block
+    out = np.asarray(inv_small_unrolled(jnp.asarray(A)))
+    assert np.isfinite(out[0]).all() and np.isfinite(out[2]).all()
+    assert np.isnan(out[1]).any()
