@@ -59,6 +59,8 @@ class RefGenState(NamedTuple):
     """Carried state of the generator."""
 
     pos_des_world: jnp.ndarray  # (3,) persistent COM position target
+    vel_cmd: jnp.ndarray  # (2,) braking-limited body-frame (vx, vy) command
+    # (equals the raw command whenever the braking limiter is disabled)
 
 
 class ReferenceTraj(NamedTuple):
@@ -75,7 +77,7 @@ class ReferenceTraj(NamedTuple):
 
 def init_state(x_vec: jnp.ndarray) -> RefGenState:
     """Initial target = current COM position (reference com_trajectory.py:10-13)."""
-    return RefGenState(pos_des_world=x_vec[0:3])
+    return RefGenState(pos_des_world=x_vec[0:3], vel_cmd=jnp.zeros(2))
 
 
 def generate(
@@ -87,11 +89,36 @@ def generate(
     dt,
     n: int,
     max_pos_error: float = 0.1,
+    brake_accel: float = 0.0,
 ) -> tuple[ReferenceTraj, RefGenState]:
-    """One MPC-rate reference generation (reference com_trajectory.py:27-211)."""
+    """One MPC-rate reference generation (reference com_trajectory.py:27-211).
+
+    ``brake_accel`` (m/s^2, static; 0 = reference spec behavior, OFF):
+    deceleration limiter on the body-frame velocity COMMAND the generator
+    tracks. The reference applies raw command steps (test_MPC.py:82-92);
+    its hard stop transitions (0.8 m/s -> 0 at t = 9) cluster the tuned
+    profile's ensemble failures at the braking instant, a margin the
+    round-4 ensemble proved solver-independent (PARITY.md). Unlike the
+    REJECTED whole-schedule command ramp (measured harmful, 0/64 — it
+    prolonged the coupled turn+accel state), this limiter only caps dv/dt
+    when a component's commanded |v| DECREASES: accelerations and the spec
+    step response stay untouched; stops become ~|v|/brake_accel ramps in
+    the *reference*, which the MPC can realize within the +-45 Nm torque
+    caps instead of demanding an impulse. One limiter step per generate()
+    call, rate scaled by ``dt`` (the calls are one MPC period apart).
+    """
     x0 = obs.x_vec
     p0 = x0[0:3]
     yaw = x0[5]
+
+    v_tgt = jnp.stack([cmd.vx, cmd.vy])
+    if brake_accel > 0.0:
+        braking = jnp.abs(v_tgt) < jnp.abs(state.vel_cmd)
+        dv = jnp.clip(v_tgt - state.vel_cmd, -brake_accel * dt, brake_accel * dt)
+        v_cmd = jnp.where(braking, state.vel_cmd + dv, v_tgt)
+    else:
+        v_cmd = v_tgt
+    cmd = cmd._replace(vx=v_cmd[0], vy=v_cmd[1])
 
     # --- clamp the persistent position target to +-max_pos_error of current
     # (reference com_trajectory.py:47-60) ---
@@ -175,7 +202,7 @@ def generate(
         pos_des_world=pos_des,
         vel_des_world=vel_des_world,
     )
-    return traj, RefGenState(pos_des_world=pos_des)
+    return traj, RefGenState(pos_des_world=pos_des, vel_cmd=v_cmd)
 
 
 def _hip_offsets() -> jnp.ndarray:

@@ -70,8 +70,14 @@ def main():
                          "platform default = Pallas kernel on TPU)")
     ap.add_argument("--ramp", action="store_true",
                     help="slew-rate-limit the command schedule "
-                         "(engine.ramp_schedule) — the shipped margin "
-                         "widener for the chaos-marginal hard steps")
+                         "(engine.ramp_schedule) — measured HARMFUL (0/64, "
+                         "round 4) and retired; kept for re-adjudication")
+    ap.add_argument("--brake", action="store_true",
+                    help="deceleration-limited velocity reference into "
+                         "stops (TUNED_CONFIG.mpc.brake_accel; the round-5 "
+                         "controller-level fix for the t=9-10 braking "
+                         "failures — distinct from --ramp: only dv/dt into "
+                         "stops is capped, accelerations stay spec)")
     ap.add_argument("--pos-mm", type=float, default=2.0)
     ap.add_argument("--ang-mrad", type=float, default=2.0)
     ap.add_argument("--vel-mms", type=float, default=10.0)
@@ -142,6 +148,8 @@ def main():
     kw = {}
     if args.tuned:
         kw["q_diag"] = TUNED_CONFIG.mpc.q_diag
+    if args.brake:
+        kw["brake_accel"] = TUNED_CONFIG.mpc.brake_accel
     if args.xla:
         kw["use_pallas"] = False
     if args.return_iterate:
@@ -188,6 +196,7 @@ def main():
     report = {
         "profile": "tuned" if args.tuned else "raw",
         "schedule": "ramped" if args.ramp else "raw-steps",
+        "brake_accel": TUNED_CONFIG.mpc.brake_accel if args.brake else 0.0,
         "engine": "xla-twin" if args.xla else "platform-default(pallas on tpu)",
         "point": "iterate" if args.return_iterate else "polished",
         "batch": n,
