@@ -661,7 +661,8 @@ def _polish_core(o: PolishOps, a_lo, a_hi, reduced: bool, setup_precision):
         Hn = H / (djr[:, :, None] * djr[:, None, :]) + 1e-6 * eye
         # XLA's batched Cholesky + 1-RHS triangular solves serialize ~32 ms
         # of column steps at B=512; the fused Pallas SPD inverse
-        # (ops/chol_kernel.py) runs the factorization in VMEM
+        # (ops/chol_kernel.py) runs the factorization in VMEM (see the
+        # factorize note for the rejected XLA-recursion alternative)
         if nz % 32 == 0:
             from convex_mpc_tpu.ops.chol_kernel import spd_inverse
 
@@ -778,7 +779,7 @@ def _polish_ladder(o: PolishOps, act_lo, act_hi, polish_rounds: int,
         "max_iter", "check_every", "scaling_iters", "box_tail",
         "rho_refactor_ratio", "setup_precision", "debug", "polish",
         "polish_rounds", "use_pallas", "nu", "small_force_scale",
-        "return_polished",
+        "return_polished", "snap_first", "polish_cap_div",
     ),
 )
 def solve_adaptive(
@@ -806,6 +807,8 @@ def solve_adaptive(
     nu: int = 12,
     small_force_scale: float = 50.0,
     return_polished: bool = True,
+    snap_first: bool = False,
+    polish_cap_div: int = 4,
 ) -> AdmmSolution:
     """Batched adaptive-iteration ADMM with refactor-on-demand.
 
@@ -926,10 +929,16 @@ def solve_adaptive(
                 # serializes ~nz HLO column steps (~19 ms at B=512 for
                 # nz=192 on v5e) and the 192-RHS triangular solve another
                 # ~13 ms; the kernel runs the blocked factorization as
-                # straight-line VPU/MXU code in VMEM (~12 ms -> whole
-                # refactorization, measured in-program). Falls back to the
-                # XLA path off-TPU (ops/chol_kernel.py), equivalence in
-                # tests/test_kernels.py.
+                # straight-line VPU/MXU code in VMEM. In-program xplane
+                # cost ~10.7 ms/call at B=512 (64 serial grid programs,
+                # tools/solve_profile.py); an explicit-inverse block-Schur
+                # recursion in pure XLA (ops/linalg.py
+                # spd_inverse_recursive) was adjudicated OUT: on the
+                # attractor-rho KKT its f32 Schur formation drives deep
+                # leaf blocks indefinite (resid 7e10 vs the kernel's
+                # 1.4e-4) and the stabilized variant needs ~as many small
+                # ops as the kernel. Falls back to the XLA path off-TPU
+                # (ops/chol_kernel.py), equivalence in tests/test_kernels.
                 from convex_mpc_tpu.ops.chol_kernel import spd_inverse
 
                 return spd_inverse(M)
@@ -1062,20 +1071,32 @@ def solve_adaptive(
                 o_x=_polish_obj(ops, x_it_raw), v_x=_polish_viol(ops, x_it_raw)
             )
 
-            # stage 1: snap proposal (cheap, block-local), settled gate
-            x_sn, y_sn, st_sn = _polish_core(
-                ops, act_lo, act_hi, reduced=False,
-                setup_precision=setup_precision,
-            )
-            ok_sn = _polish_certify(
-                ops, act_lo, act_hi, x_sn, y_sn, st_sn, eps_abs
-            ) & (step <= stall_tol)
-            x_base = jnp.where(ok_sn[:, None], x_sn, jnp.zeros_like(x_sn))
+            # stage 1 (OPTIONAL, default OFF — adjudicated round 5): snap
+            # proposal + compacted ladder. Measured on warm steady trot at
+            # B = 512: >B/2 scenarios are still moving (step > stall_tol)
+            # at the first accept attempt, so the compact branch never
+            # triggers and the snap adds ~5 ms of dead weight
+            # (54.5 vs 49.3 ms/solve). Kept behind the flag for
+            # de-synchronized workloads where a minority needs the ladder.
+            if snap_first:
+                x_sn, y_sn, st_sn = _polish_core(
+                    ops, act_lo, act_hi, reduced=False,
+                    setup_precision=setup_precision,
+                )
+                ok_sn = _polish_certify(
+                    ops, act_lo, act_hi, x_sn, y_sn, st_sn, eps_abs
+                ) & (step <= stall_tol)
+                x_base = jnp.where(ok_sn[:, None], x_sn, jnp.zeros_like(x_sn))
+            else:
+                ok_sn = jnp.zeros((B,), bool)
+                x_base = jnp.zeros_like(x_it_raw)
             need = ~ok_sn
             count = jnp.sum(need)
 
             # stage 2: reduced ladder for snap failures only
-            cap = B if B < 16 else max(B // 4, 8)
+            cap = B if (B < 16 or not snap_first) else max(
+                B // polish_cap_div, 8
+            )
 
             def no_ladder():
                 return x_base, ok_sn
