@@ -52,8 +52,11 @@ class MpcConfig:
     fz_max: float = float("inf")
     max_pos_error: float = 0.1  # COM target clamp, m (reference com_trajectory.py:47)
     # deceleration limiter on the velocity REFERENCE into stops (m/s^2;
-    # 0 = reference spec steps, control/reference.py generate). Tuned
-    # profile only — see TUNED_CONFIG.
+    # 0 = reference spec steps, control/reference.py generate). NOT
+    # shipped in any default profile — ensemble-adjudicated neutral-to-
+    # harmful on the reference schedule (see the TUNED_CONFIG note and
+    # BRAKE_ACCEL_CANDIDATE); available per-run for schedules whose stops
+    # genuinely exceed the torque budget.
     brake_accel: float = 0.0
 
 
@@ -228,15 +231,21 @@ DEFAULT_CONFIG = EngineConfig()
 # tracking unchanged. DEFAULT_CONFIG keeps the reference weights for spec
 # parity.
 #
-# brake_accel = 2.5: deceleration-limited velocity REFERENCE into stop
-# transitions (control/reference.py generate). The round-4 ensemble
-# localized the tuned profile's failures to the t = 9-10 sprint-stop
-# braking and proved the margin solver-independent; limiting only dv/dt
-# into stops (0.8 m/s -> 0 over ~0.32 s) removes the commanded impulse
-# without the rejected whole-schedule ramp's harmful side effects
-# (ensemble-certified, artifacts/ensemble_tuned_brake.json).
+# brake_accel stays 0 (spec): the round-5 braking-limited velocity
+# reference (control/reference.py generate, brake_accel = 2.5) was
+# ensemble-adjudicated NOT SHIPPED — tuned+brake passed 39/64 vs the
+# tuned profile's 47/64 on the same perturbation protocol
+# (artifacts/ensemble_tuned_brake_r5.json vs ensemble_tuned_r5.json):
+# stretching the stop into a 0.32 s reference ramp re-rolls the chaotic
+# schedule without widening the margin, like the round-4 command ramp
+# before it (0/64). The mechanism remains available per-run
+# (mpc_cycle_batch brake_accel=..., ensemble_cert --brake) for gaits and
+# schedules where commanded stops genuinely exceed the torque budget.
 TUNED_CONFIG = EngineConfig(
-    mpc=MpcConfig(q_diag=(1, 1, 50, 10, 20, 1, 2, 8, 4, 1, 1, 1),
-                  brake_accel=2.5)
+    mpc=MpcConfig(q_diag=(1, 1, 50, 10, 20, 1, 2, 8, 4, 1, 1, 1))
 )
 TUNED_Q_DIAG = TUNED_CONFIG.mpc.q_diag
+
+# The adjudicated-but-not-shipped braking-limiter rate (see the
+# TUNED_CONFIG note); tools that re-run the --brake experiment read this.
+BRAKE_ACCEL_CANDIDATE = 2.5

@@ -74,7 +74,7 @@ def main():
                          "round 4) and retired; kept for re-adjudication")
     ap.add_argument("--brake", action="store_true",
                     help="deceleration-limited velocity reference into "
-                         "stops (TUNED_CONFIG.mpc.brake_accel; the round-5 "
+                         "stops (BRAKE_ACCEL_CANDIDATE; the round-5 "
                          "controller-level fix for the t=9-10 braking "
                          "failures — distinct from --ramp: only dv/dt into "
                          "stops is capped, accelerations stay spec)")
@@ -98,7 +98,7 @@ def main():
     from convex_mpc_tpu.models import dynamics as D
     from convex_mpc_tpu.sim import engine as E
     from convex_mpc_tpu.sim import physics as P
-    from convex_mpc_tpu.utils.config import TUNED_CONFIG
+    from convex_mpc_tpu.utils.config import BRAKE_ACCEL_CANDIDATE, TUNED_CONFIG
 
     B = args.batch
     rng = np.random.default_rng(args.seed)
@@ -149,7 +149,7 @@ def main():
     if args.tuned:
         kw["q_diag"] = TUNED_CONFIG.mpc.q_diag
     if args.brake:
-        kw["brake_accel"] = TUNED_CONFIG.mpc.brake_accel
+        kw["brake_accel"] = BRAKE_ACCEL_CANDIDATE
     if args.xla:
         kw["use_pallas"] = False
     if args.return_iterate:
@@ -160,6 +160,7 @@ def main():
     z_max = np.full(B, -np.inf)
     rp_max = np.zeros(B)
     finite = np.ones(B, bool)
+    first_bad = np.full(B, -1.0)  # sim second a scenario first left the gates
     last = None
     for sec in range(args.seconds):
         state_b, logs = E.simulate_batched(
@@ -174,9 +175,9 @@ def main():
         z_max = np.maximum(z_max, x[:, :, 2].max(1))
         rp_max = np.maximum(rp_max, np.abs(x[:, :, 3:5]).max((1, 2)))
         last = x
-        n_up = int(
-            (finite & (z_min > 0.12) & (z_max < 0.6) & (rp_max < 0.6)).sum()
-        )
+        good = finite & (z_min > 0.12) & (z_max < 0.6) & (rp_max < 0.6)
+        first_bad = np.where(~good & (first_bad < 0), float(sec + 1), first_bad)
+        n_up = int(good.sum())
         print(f"t={sec + 1:2d}s  upright {n_up}/{B}  "
               f"z[{z_min.min():.3f},{z_max.max():.3f}]  "
               f"|rp|max={rp_max.max():.3f}", flush=True)
@@ -196,7 +197,7 @@ def main():
     report = {
         "profile": "tuned" if args.tuned else "raw",
         "schedule": "ramped" if args.ramp else "raw-steps",
-        "brake_accel": TUNED_CONFIG.mpc.brake_accel if args.brake else 0.0,
+        "brake_accel": BRAKE_ACCEL_CANDIDATE if args.brake else 0.0,
         "engine": "xla-twin" if args.xla else "platform-default(pallas on tpu)",
         "point": "iterate" if args.return_iterate else "polished",
         "batch": n,
@@ -208,6 +209,7 @@ def main():
         "iters": args.iters,
         "seconds": args.seconds,
         "fail_idx": np.nonzero(~ok)[0].tolist(),
+        "fail_time_s": {int(i): first_bad[i] for i in np.nonzero(~ok)[0]},
         "stop_resid_p95": round(float(np.percentile(stop_resid, 95)), 4),
         "elapsed_s": round(time.time() - t0, 1),
     }

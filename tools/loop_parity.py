@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--tuned", action="store_true",
                     help="tuned cost profile (Q_vy=8) — the recommended "
                          "robust configuration for the full schedule")
+    ap.add_argument("--brake", action="store_true",
+                    help="braking-limited velocity reference "
+                         "(BRAKE_ACCEL_CANDIDATE) in BOTH the "
+                         "engine and the captured oracle QPs")
     args = ap.parse_args()
 
     import jax
@@ -67,10 +71,14 @@ def main():
     from convex_mpc_tpu.sim import physics as P
     from convex_mpc_tpu.utils.native_oracle import solve_qp_native
 
-    from convex_mpc_tpu.utils.config import DEFAULT_CONFIG, TUNED_CONFIG
+    from convex_mpc_tpu.utils.config import (
+        BRAKE_ACCEL_CANDIDATE, DEFAULT_CONFIG, TUNED_CONFIG)
 
     Q = np.array((TUNED_CONFIG if args.tuned else DEFAULT_CONFIG).mpc.q_diag,
                  float)
+    brake_accel = BRAKE_ACCEL_CANDIDATE if args.brake else 0.0
+    assert not (args.brake and not args.adaptive), \
+        "--brake requires --adaptive (the fixed path has no brake knob)"
     dyn = D.build_dyn()
     gait = G.make_gait_params(3.0, 0.6)
     contact = P.default_contact()
@@ -116,7 +124,8 @@ def main():
         # capture the exact QP the engine will solve this cycle
         cmd = E.lookup_command(sched, state.t)
         obs, _, _ = E.observe(dyn, state.plant, state.yaw_cont, state.yaw_prev, state.vel_filt)
-        traj, _ = R.generate(state.refgen, gait, obs, cmd, state.t, (1 / 3.0) / 16, 16)
+        traj, _ = R.generate(state.refgen, gait, obs, cmd, state.t, (1 / 3.0) / 16, 16,
+                             brake_accel=brake_accel)
         p0 = np.asarray(traj.x0[0:3], float)
         x0_s = np.asarray(traj.x0, float).copy()
         x0_s[0:3] = 0.0
@@ -145,6 +154,7 @@ def main():
                 dyn, gait_b, contact_b, sched_b, state_b,
                 solver_iters=args.solver_iters, stall_tol=args.stall_tol,
                 polish=not args.no_polish, q_diag=tuple(Q),
+                brake_accel=brake_accel,
             )
             state = jax.tree.map(lambda a: a[0], state_b)
             iters.append(int(log.solver_iters[0]))
