@@ -59,8 +59,8 @@ class RefGenState(NamedTuple):
     """Carried state of the generator."""
 
     pos_des_world: jnp.ndarray  # (3,) persistent COM position target
-    vel_cmd: jnp.ndarray  # (2,) braking-limited body-frame (vx, vy) command
-    # (equals the raw command whenever the braking limiter is disabled)
+    vel_cmd: jnp.ndarray  # (3,) braking-limited (vx, vy, yaw_rate) command
+    # (equals the raw command whenever the braking limiters are disabled)
 
 
 class ReferenceTraj(NamedTuple):
@@ -77,7 +77,7 @@ class ReferenceTraj(NamedTuple):
 
 def init_state(x_vec: jnp.ndarray) -> RefGenState:
     """Initial target = current COM position (reference com_trajectory.py:10-13)."""
-    return RefGenState(pos_des_world=x_vec[0:3], vel_cmd=jnp.zeros(2))
+    return RefGenState(pos_des_world=x_vec[0:3], vel_cmd=jnp.zeros(3))
 
 
 def generate(
@@ -90,10 +90,13 @@ def generate(
     n: int,
     max_pos_error: float = 0.1,
     brake_accel: float = 0.0,
+    brake_alpha: float = 0.0,
 ) -> tuple[ReferenceTraj, RefGenState]:
     """One MPC-rate reference generation (reference com_trajectory.py:27-211).
 
-    ``brake_accel`` (m/s^2, static; 0 = reference spec behavior, OFF):
+    ``brake_accel`` / ``brake_alpha`` (m/s^2 and rad/s^2, static; 0 =
+    reference spec behavior, OFF — see utils/config.py for the
+    adjudication status of each):
     deceleration limiter on the body-frame velocity COMMAND the generator
     tracks. The reference applies raw command steps (test_MPC.py:82-92);
     its hard stop transitions (0.8 m/s -> 0 at t = 9) cluster the tuned
@@ -111,14 +114,17 @@ def generate(
     p0 = x0[0:3]
     yaw = x0[5]
 
-    v_tgt = jnp.stack([cmd.vx, cmd.vy])
-    if brake_accel > 0.0:
+    v_tgt = jnp.stack([cmd.vx, cmd.vy, cmd.yaw_rate])
+    if brake_accel > 0.0 or brake_alpha > 0.0:
+        rate = jnp.asarray(
+            [brake_accel or jnp.inf, brake_accel or jnp.inf,
+             brake_alpha or jnp.inf], jnp.float32)
         braking = jnp.abs(v_tgt) < jnp.abs(state.vel_cmd)
-        dv = jnp.clip(v_tgt - state.vel_cmd, -brake_accel * dt, brake_accel * dt)
+        dv = jnp.clip(v_tgt - state.vel_cmd, -rate * dt, rate * dt)
         v_cmd = jnp.where(braking, state.vel_cmd + dv, v_tgt)
     else:
         v_cmd = v_tgt
-    cmd = cmd._replace(vx=v_cmd[0], vy=v_cmd[1])
+    cmd = cmd._replace(vx=v_cmd[0], vy=v_cmd[1], yaw_rate=v_cmd[2])
 
     # --- clamp the persistent position target to +-max_pos_error of current
     # (reference com_trajectory.py:47-60) ---

@@ -388,7 +388,7 @@ def _run_ticks(
 
 
 def cycle_update(dyn, gait_i, sched_i, state_i, qd, n, mpc_dt, r_value,
-                 mu_mpc, fz_min, brake_accel=0.0):
+                 mu_mpc, fz_min, brake_accel=0.0, brake_alpha=0.0):
     """Per-scenario "update" stage of the MPC cycle: command lookup +
     observation + reference generation + condensed QP assembly (the
     reference's `update`/`update_model_simplified` + CasADi assembly,
@@ -400,7 +400,7 @@ def cycle_update(dyn, gait_i, sched_i, state_i, qd, n, mpc_dt, r_value,
     )
     traj, refgen = R.generate(
         state_i.refgen, gait_i, obs, cmd, state_i.t, mpc_dt, n,
-        brake_accel=brake_accel,
+        brake_accel=brake_accel, brake_alpha=brake_alpha,
     )
     p0 = traj.x0[0:3]
     # block-form QP: the dense (m, nz) constraint matrix is never built
@@ -417,7 +417,7 @@ def cycle_update(dyn, gait_i, sched_i, state_i, qd, n, mpc_dt, r_value,
     static_argnames=(
         "n", "steps_per_mpc", "solver_iters", "tau_max", "mpc_dt", "sim_dt",
         "check_every", "stall_tol", "polish", "use_pallas", "return_polished",
-        "brake_accel",
+        "brake_accel", "brake_alpha",
     ),
 )
 def mpc_cycle_batch(
@@ -443,6 +443,7 @@ def mpc_cycle_batch(
     use_pallas: bool | None = None,
     return_polished: bool = True,
     brake_accel: float = 0.0,
+    brake_alpha: float = 0.0,
 ) -> tuple[EngineState, CycleLog]:
     """One MPC period for a scenario BATCH with the batch-global adaptive solver.
 
@@ -461,7 +462,7 @@ def mpc_cycle_batch(
     def pre(gait_i, sched_i, state_i):
         return cycle_update(
             dyn, gait_i, sched_i, state_i, qd, n, mpc_dt, r_value, mu_mpc,
-            fz_min, brake_accel=brake_accel,
+            fz_min, brake_accel=brake_accel, brake_alpha=brake_alpha,
         )
 
     data_b, traj_b, refgen_b, cmd_b, yc_b, yp_b = jax.vmap(pre)(gait, sched, state)

@@ -104,7 +104,7 @@ def test_matches_oracle(t_now):
     cmd = R.BodyCommand(
         vx=jnp.asarray(0.4), vy=jnp.asarray(0.1), z_pos=jnp.asarray(0.27), yaw_rate=jnp.asarray(1.0)
     )
-    state = R.RefGenState(pos_des_world=jnp.asarray([0.45, -0.15, 0.27], jnp.float32), vel_cmd=jnp.zeros(2))
+    state = R.RefGenState(pos_des_world=jnp.asarray([0.45, -0.15, 0.27], jnp.float32), vel_cmd=jnp.zeros(3))
 
     traj, new_state = R.generate(state, gait, obs, cmd, t_now, DT, N)
 
@@ -126,7 +126,7 @@ def test_clamp_pulls_target_toward_robot():
         vx=jnp.asarray(0.0), vy=jnp.asarray(0.0), z_pos=jnp.asarray(0.27), yaw_rate=jnp.asarray(0.0)
     )
     # target far behind the robot: clamp to within 0.1
-    state = R.RefGenState(pos_des_world=jnp.asarray([-2.0, 3.0, 0.27], jnp.float32), vel_cmd=jnp.zeros(2))
+    state = R.RefGenState(pos_des_world=jnp.asarray([-2.0, 3.0, 0.27], jnp.float32), vel_cmd=jnp.zeros(3))
     _, new_state = R.generate(state, gait, obs, cmd, 0.0, DT, N)
     np.testing.assert_allclose(
         np.asarray(new_state.pos_des_world), [0.5 - 0.1, -0.2 + 0.1, 0.27], atol=1e-6

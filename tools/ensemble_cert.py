@@ -78,6 +78,10 @@ def main():
                          "controller-level fix for the t=9-10 braking "
                          "failures — distinct from --ramp: only dv/dt into "
                          "stops is capped, accelerations stay spec)")
+    ap.add_argument("--brake-yaw", type=float, default=0.0,
+                    help="yaw-deceleration limiter rad/s^2 on the "
+                         "reference (0 = spec; e.g. 10 softens the t=8 "
+                         "2 rad/s turn-exit over 0.2 s)")
     ap.add_argument("--pos-mm", type=float, default=2.0)
     ap.add_argument("--ang-mrad", type=float, default=2.0)
     ap.add_argument("--vel-mms", type=float, default=10.0)
@@ -150,6 +154,8 @@ def main():
         kw["q_diag"] = TUNED_CONFIG.mpc.q_diag
     if args.brake:
         kw["brake_accel"] = BRAKE_ACCEL_CANDIDATE
+    if args.brake_yaw > 0.0:
+        kw["brake_alpha"] = args.brake_yaw
     if args.xla:
         kw["use_pallas"] = False
     if args.return_iterate:
@@ -198,6 +204,7 @@ def main():
         "profile": "tuned" if args.tuned else "raw",
         "schedule": "ramped" if args.ramp else "raw-steps",
         "brake_accel": BRAKE_ACCEL_CANDIDATE if args.brake else 0.0,
+        "brake_alpha": args.brake_yaw,
         "engine": "xla-twin" if args.xla else "platform-default(pallas on tpu)",
         "point": "iterate" if args.return_iterate else "polished",
         "batch": n,
