@@ -421,6 +421,14 @@ def admm_iterations_structured(
     # lane width: power of two >= nz so the tree fold halves exactly
     np_ = _next_pow2(max(nz, 128))
     mp = _round_up(m, 128)
+    # VMEM cap: per-program scoped allocation scales with block_k * np_^2
+    # (Minv block + the in-kernel rhs*Minv product + double buffering);
+    # block_k=32 at np_=512 (horizon 32) measured 111 MB > the 100 MB limit
+    # — the silent reason the round-4 multi-config grid never recorded its
+    # n=32 config. Per-scenario results are block-size-independent
+    # (scenarios are independent lanes), so shrinking block_k for large
+    # horizons preserves bitwise outputs.
+    block_k = max(1, min(block_k, (24 * 2**20) // (np_ * np_ * 4)))
     bp = _round_up(B, block_k)
 
     def padb(a):  # pad batch axis
