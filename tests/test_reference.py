@@ -173,3 +173,50 @@ def test_jit_and_vmap():
     vgen = jax.jit(jax.vmap(lambda s, o, c: R.generate(s, gait, o, c, 0.1, DT, N)))
     btraj, _ = vgen(batch_state, batch_obs, batch_cmd)
     assert btraj.x_ref.shape == (B, N, 12)
+
+
+def test_brake_limiter_semantics():
+    """The optional deceleration limiter (brake_accel/brake_alpha) caps
+    dv/dt ONLY when a commanded component's |v| decreases; accelerations
+    pass through at the spec step response, and brake_accel=0 (default)
+    reproduces the reference's raw steps exactly."""
+    import jax
+    from convex_mpc_tpu.control import gait as G
+    from convex_mpc_tpu.control import reference as R
+
+    gait = G.make_gait_params(3.0, 0.6)
+    obs = R.CentroidalObs(
+        x_vec=jnp.zeros(12),
+        R_body_to_world=jnp.eye(3),
+        foot_levers=jnp.zeros((4, 3)),
+        mass=jnp.asarray(12.0),
+        inertia_world=jnp.eye(3) * 0.1,
+    )
+    dt = 0.02
+
+    def step_once(vel_cmd_prev, cmd, **kw):
+        st = R.RefGenState(pos_des_world=jnp.zeros(3),
+                           vel_cmd=jnp.asarray(vel_cmd_prev, jnp.float32))
+        _, st2 = R.generate(st, gait, obs, cmd, 0.0, dt, 16, **kw)
+        return np.asarray(st2.vel_cmd)
+
+    cmd_stop = R.BodyCommand(vx=jnp.asarray(0.0), vy=jnp.asarray(0.0),
+                             z_pos=jnp.asarray(0.27), yaw_rate=jnp.asarray(0.0))
+    cmd_go = R.BodyCommand(vx=jnp.asarray(0.8), vy=jnp.asarray(0.0),
+                           z_pos=jnp.asarray(0.27), yaw_rate=jnp.asarray(2.0))
+
+    # default: raw steps (spec) — carried command IS the raw command
+    v = step_once([0.8, 0.0, 2.0], cmd_stop)
+    np.testing.assert_allclose(v, [0.0, 0.0, 0.0], atol=0)
+
+    # braking limited: one step removes exactly brake_accel*dt
+    v = step_once([0.8, 0.0, 2.0], cmd_stop, brake_accel=2.5)
+    np.testing.assert_allclose(v, [0.8 - 2.5 * dt, 0.0, 0.0], rtol=1e-6)
+
+    # acceleration passes through unlimited even with the limiter on
+    v = step_once([0.0, 0.0, 0.0], cmd_go, brake_accel=2.5, brake_alpha=10.0)
+    np.testing.assert_allclose(v, [0.8, 0.0, 2.0], rtol=1e-6)
+
+    # yaw limiter independent of the linear one
+    v = step_once([0.0, 0.0, 2.0], cmd_stop, brake_alpha=10.0)
+    np.testing.assert_allclose(v, [0.0, 0.0, 2.0 - 10.0 * dt], rtol=1e-6)
