@@ -58,6 +58,9 @@ class MpcConfig:
     # BRAKE_ACCEL_CANDIDATE); available per-run for schedules whose stops
     # genuinely exceed the torque budget.
     brake_accel: float = 0.0
+    # yaw-deceleration limiter on the reference (rad/s^2; 0 = spec raw
+    # steps). SHIPPED at 10.0 in TUNED_CONFIG — see its adjudication note.
+    brake_alpha: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,6 +162,7 @@ def engine_kwargs_batched(cfg: "EngineConfig") -> dict:
         stall_tol=cfg.solver.stall_tol,
         polish=cfg.solver.polish,
         brake_accel=cfg.mpc.brake_accel,
+        brake_alpha=cfg.mpc.brake_alpha,
     )
 
 
@@ -231,18 +235,24 @@ DEFAULT_CONFIG = EngineConfig()
 # tracking unchanged. DEFAULT_CONFIG keeps the reference weights for spec
 # parity.
 #
-# brake_accel stays 0 (spec): the round-5 braking-limited velocity
-# reference (control/reference.py generate, brake_accel = 2.5) was
-# ensemble-adjudicated NOT SHIPPED — tuned+brake passed 39/64 vs the
-# tuned profile's 47/64 on the same perturbation protocol
-# (artifacts/ensemble_tuned_brake_r5.json vs ensemble_tuned_r5.json):
-# stretching the stop into a 0.32 s reference ramp re-rolls the chaotic
-# schedule without widening the margin, like the round-4 command ramp
-# before it (0/64). The mechanism remains available per-run
-# (mpc_cycle_batch brake_accel=..., ensemble_cert --brake) for gaits and
-# schedules where commanded stops genuinely exceed the torque budget.
+# Round-5 limiter adjudication (ensemble protocol, B = 64 perturbed
+# starts of the 10 s reference schedule; artifacts/ensemble_*_r5.json):
+#
+# - brake_accel = 2.5 (linear-stop limiter) alone: 39/64 vs the tuned
+#   baseline's 47/64 — stretching the t = 9 stop into a 0.32 s reference
+#   ramp re-rolls the chaotic schedule without widening the margin (the
+#   dominant failures were NOT at the stop). NOT shipped; available
+#   per-run via BRAKE_ACCEL_CANDIDATE.
+# - brake_alpha = 10 (yaw-deceleration limiter): 54/64 with CP95 0.75 vs
+#   47/64 / CP95 0.63 — and, decisively, fail_time_s shows the t = 8-9
+#   turn-exit failures (13 of the baseline's 17) are ELIMINATED; all
+#   remaining failures move to the t = 9-10 braking window and stops
+#   become clean (stop_resid p95 0.48 -> 0.035). Softening the 2 rad/s
+#   angular-momentum dump over ~0.2 s is the effective controller-level
+#   fix the round-4 verdict asked for. SHIPPED in TUNED_CONFIG.
 TUNED_CONFIG = EngineConfig(
-    mpc=MpcConfig(q_diag=(1, 1, 50, 10, 20, 1, 2, 8, 4, 1, 1, 1))
+    mpc=MpcConfig(q_diag=(1, 1, 50, 10, 20, 1, 2, 8, 4, 1, 1, 1),
+                  brake_alpha=10.0)
 )
 TUNED_Q_DIAG = TUNED_CONFIG.mpc.q_diag
 

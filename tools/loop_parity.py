@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--tuned", action="store_true",
                     help="tuned cost profile (Q_vy=8) — the recommended "
                          "robust configuration for the full schedule")
+    ap.add_argument("--brake-yaw", type=float, default=0.0,
+                    help="yaw-deceleration limiter rad/s^2 in BOTH the "
+                         "engine and the captured oracle QPs")
     ap.add_argument("--brake", action="store_true",
                     help="braking-limited velocity reference "
                          "(BRAKE_ACCEL_CANDIDATE) in BOTH the "
@@ -77,8 +80,9 @@ def main():
     Q = np.array((TUNED_CONFIG if args.tuned else DEFAULT_CONFIG).mpc.q_diag,
                  float)
     brake_accel = BRAKE_ACCEL_CANDIDATE if args.brake else 0.0
-    assert not (args.brake and not args.adaptive), \
-        "--brake requires --adaptive (the fixed path has no brake knob)"
+    brake_alpha = args.brake_yaw
+    assert not ((args.brake or brake_alpha > 0) and not args.adaptive), \
+        "--brake/--brake-yaw require --adaptive (the fixed path has no knob)"
     dyn = D.build_dyn()
     gait = G.make_gait_params(3.0, 0.6)
     contact = P.default_contact()
@@ -125,7 +129,7 @@ def main():
         cmd = E.lookup_command(sched, state.t)
         obs, _, _ = E.observe(dyn, state.plant, state.yaw_cont, state.yaw_prev, state.vel_filt)
         traj, _ = R.generate(state.refgen, gait, obs, cmd, state.t, (1 / 3.0) / 16, 16,
-                             brake_accel=brake_accel)
+                             brake_accel=brake_accel, brake_alpha=brake_alpha)
         p0 = np.asarray(traj.x0[0:3], float)
         x0_s = np.asarray(traj.x0, float).copy()
         x0_s[0:3] = 0.0
@@ -154,7 +158,7 @@ def main():
                 dyn, gait_b, contact_b, sched_b, state_b,
                 solver_iters=args.solver_iters, stall_tol=args.stall_tol,
                 polish=not args.no_polish, q_diag=tuple(Q),
-                brake_accel=brake_accel,
+                brake_accel=brake_accel, brake_alpha=brake_alpha,
             )
             state = jax.tree.map(lambda a: a[0], state_b)
             iters.append(int(log.solver_iters[0]))
