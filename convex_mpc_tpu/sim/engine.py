@@ -417,7 +417,7 @@ def cycle_update(dyn, gait_i, sched_i, state_i, qd, n, mpc_dt, r_value,
     static_argnames=(
         "n", "steps_per_mpc", "solver_iters", "tau_max", "mpc_dt", "sim_dt",
         "check_every", "stall_tol", "polish", "use_pallas", "return_polished",
-        "brake_accel", "brake_alpha",
+        "brake_accel", "brake_alpha", "use_fused_ticks",
     ),
 )
 def mpc_cycle_batch(
@@ -444,6 +444,7 @@ def mpc_cycle_batch(
     return_polished: bool = True,
     brake_accel: float = 0.0,
     brake_alpha: float = 0.0,
+    use_fused_ticks: bool | None = None,
 ) -> tuple[EngineState, CycleLog]:
     """One MPC period for a scenario BATCH with the batch-global adaptive solver.
 
@@ -484,27 +485,49 @@ def mpc_cycle_batch(
     return cycle_apply(
         dyn, gait, contact, state, sol, traj_b, refgen_b, cmd_b, yc_b, yp_b,
         solver_iters, steps_per_mpc, tau_max, sim_dt, vel_filter_hz,
+        use_fused_ticks=use_fused_ticks,
     )
 
 
 def cycle_apply(dyn, gait, contact, state, sol, traj_b, refgen_b, cmd_b,
                 yc_b, yp_b, solver_iters, steps_per_mpc=20, tau_max=45.0,
-                sim_dt=1e-3, vel_filter_hz=30.0):
+                sim_dt=1e-3, vel_filter_hz=30.0, use_fused_ticks=None):
     """Batched "apply" stage of the MPC cycle: 1 kHz leg-control/physics
     ticks from the solved forces + next-cycle state assembly (rho
-    warm-carry). Split out for tools/time_dashboard.py (see cycle_update)."""
+    warm-carry). Split out for tools/time_dashboard.py (see cycle_update).
+
+    ``use_fused_ticks``: run the whole 20-tick window as ONE batch-last
+    Pallas program (sim/tick_fused.py) instead of ``vmap`` over per-tick
+    small ops — same semantics at f32 reassociation level
+    (tests/test_tick_fused.py). Default: off until the TPU path is
+    certified (flip pending closed-loop ensemble/parity re-runs).
+    """
     u0_b = sol.x[:, 0:12].reshape(-1, 4, 3)
 
-    def post(gait_i, contact_i, cmd_i, traj_i, u0_i, state_i, yc, yp):
-        return _run_ticks(
-            dyn, gait_i, contact_i, cmd_i, traj_i, u0_i,
-            state_i.plant, state_i.leg, yc, yp, state_i.vel_filt, state_i.t,
-            steps_per_mpc, tau_max, sim_dt, vel_filter_hz,
-        )
+    if use_fused_ticks is None:
+        use_fused_ticks = False
 
-    (plant, leg_state, yaw_cont, yaw_prev, vel_filt, t), ticks = jax.vmap(post)(
-        gait, contact, cmd_b, traj_b, u0_b, state, yc_b, yp_b
-    )
+    if use_fused_ticks:
+        from convex_mpc_tpu.sim.tick_fused import run_ticks_fused
+
+        (plant, leg_state, yaw_cont, yaw_prev, vel_filt, t), ticks = (
+            run_ticks_fused(
+                dyn, gait, contact, cmd_b, traj_b, u0_b,
+                state.plant, state.leg, yc_b, yp_b, state.vel_filt, state.t,
+                steps_per_mpc, tau_max, sim_dt, vel_filter_hz,
+            )
+        )
+    else:
+        def post(gait_i, contact_i, cmd_i, traj_i, u0_i, state_i, yc, yp):
+            return _run_ticks(
+                dyn, gait_i, contact_i, cmd_i, traj_i, u0_i,
+                state_i.plant, state_i.leg, yc, yp, state_i.vel_filt,
+                state_i.t, steps_per_mpc, tau_max, sim_dt, vel_filter_hz,
+            )
+
+        (plant, leg_state, yaw_cont, yaw_prev, vel_filt, t), ticks = jax.vmap(
+            post
+        )(gait, contact, cmd_b, traj_b, u0_b, state, yc_b, yp_b)
 
     # rho warm-carry policy: carry the adapted rho only out of EASY cycles
     # (converged within ~one adaptation period) — steady trot then skips the
